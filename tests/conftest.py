@@ -1,0 +1,25 @@
+"""Test harness setup: force an 8-device virtual CPU mesh.
+
+This container boots JAX onto the axon TPU platform via sitecustomize
+(JAX_PLATFORMS=axon); jax is already imported by the time conftest runs,
+but no backend has been initialized yet, so flipping the platform via
+jax.config still works.  Set MUDIFF_TESTS_ON_TPU=1 to run the suite on
+the live TPU backend instead.
+"""
+
+import os
+
+# torch (used in optional cross-checks) and XLA both spin OpenMP thread
+# pools; unbounded they deadlock each other on this image.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+import jax  # noqa: E402
+
+if os.environ.get("MUDIFF_TESTS_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
+jax.config.update("jax_threefry_partitionable", True)
