@@ -1,0 +1,101 @@
+"""Benchmark: 4-step adversarial-diffusion sampling throughput, per chip.
+
+Measures the headline metric from BASELINE.json — 256x256 slices/sec/chip
+with the 4-step sampler (8 generator UNet forwards per slice: G1+G2 per
+step) on the logged reference recipe (num_channels_dae=64, ch_mult
+[1,2,4], 21M-param generators).
+
+vs_baseline: the only *measured* throughput in the reference's shipped
+logs is training at ~12 slices/s global on 2 GPUs => 6.0 slices/s per
+GPU (BASELINE.md, error_logs/log_mudiff_t2.13966160.out; the reference
+pipeline was host-data-bound).  The reference's inference path runs the
+same 8 forwards per slice at batch_size=1 (engine/test.py:294), so its
+sampling throughput is bounded by the same order; we use 6.0 slices/s as
+the single-accelerator denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from mudiff_tpu.config import brats_recipe
+    from mudiff_tpu.diffusion import PosteriorCoefficients, sample_from_model
+    from mudiff_tpu.models import NCSNppGenerator
+
+    cfg = brats_recipe(num_channels_dae=64, image_size=256, use_bf16=True)
+    dtype = jnp.bfloat16
+    g1 = NCSNppGenerator(config=cfg, dtype=dtype)
+    g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=dtype)
+    post = PosteriorCoefficients.from_config(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    s = cfg.image_size
+    x1 = jnp.zeros((1, s, s, 1), jnp.float32)
+    t1 = jnp.zeros((1,), jnp.int32)
+    z1 = jnp.zeros((1, cfg.nz), jnp.float32)
+    k1, k2 = jax.random.split(rng)
+    params_g1 = g1.init(k1, x1, x1, x1, x1, t1, z1)["params"]
+    params_g2 = g2.init(k2, x1, x1, x1, x1, t1, z1, pseudo_target=x1)["params"]
+
+    def make_sampler(batch):
+        @jax.jit
+        def sampler(pg1, pg2, c1, c2, c3, x_init, key):
+            g1_fn = lambda x, a, b, c, t, z: g1.apply(
+                {"params": pg1}, x, a, b, c, t, z
+            )
+            g2_fn = lambda x, a, b, c, t, z, pseudo: g2.apply(
+                {"params": pg2}, x, a, b, c, t, z, pseudo_target=pseudo
+            )
+            return sample_from_model(
+                post, g1_fn, g2_fn, c1, c2, c3, x_init,
+                cfg.num_timesteps, cfg.nz, key, compute_dtype=dtype,
+            )
+        return sampler
+
+    # pick the largest batch that fits
+    value = None
+    for batch in (32, 16, 8, 4, 2, 1):
+        try:
+            sampler = make_sampler(batch)
+            c = jnp.zeros((batch, s, s, 1), jnp.float32)
+            x_init = jax.random.normal(
+                jax.random.PRNGKey(1), (batch, s, s, 1), jnp.float32
+            )
+            out = sampler(params_g1, params_g2, c, c, c, x_init,
+                          jax.random.PRNGKey(2))
+            out.block_until_ready()  # compile + warmup
+            iters = 5 if batch >= 8 else 10
+            start = time.perf_counter()
+            for i in range(iters):
+                out = sampler(params_g1, params_g2, c, c, c, x_init,
+                              jax.random.PRNGKey(3 + i))
+            out.block_until_ready()
+            elapsed = time.perf_counter() - start
+            value = batch * iters / elapsed
+            break
+        except Exception as e:  # OOM at this batch -> halve
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
+                continue
+            raise
+    if value is None:
+        raise RuntimeError("no batch size fit in memory")
+
+    baseline_slices_per_sec = 6.0  # measured reference per-GPU throughput
+    print(json.dumps({
+        "metric": "brats_256_t1ce_4step_sampling_throughput",
+        "value": round(value, 3),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(value / baseline_slices_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Host-side device feed: shuffled, per-host-sharded, prefetched batches.
+
+The reference pipeline was its own bottleneck — the shipped logs show
+33.0s of every 33.3s window spent in the torch DataLoader
+(BASELINE.md; engine/train.py:422-433).  This loader removes that class
+of problem the TPU way:
+
+* whole splits live in host RAM (float32 256^2 slices are small),
+* batch assembly is one fancy-index gather + clamp (optionally served by
+  the native C++ gather in mudiff_tpu/data/_native when built),
+* a background thread keeps ``prefetch`` batches ahead, already
+  ``device_put`` onto the mesh with the batch sharding, so the TPU never
+  waits on the host,
+* per-host sharding for multi-host: each process sees its
+  process_index-strided subset (replaces DistributedSampler,
+  engine/train.py:409-411).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mudiff_tpu.data.datasets import SliceDataset
+
+Batch = Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
+
+
+class DeviceLoader:
+    def __init__(
+        self,
+        dataset: SliceDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        pad_last: bool = False,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        # pad_last: keep the tail batch by repeating its last slice up to
+        # batch_size (keeps shapes static for jit; implies drop_last=False)
+        self.pad_last = pad_last
+        if pad_last:
+            self.drop_last = False
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        # per-host strided shard (DistributedSampler semantics)
+        return idx[self.process_index::self.process_count]
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        """Iterate device-resident batches for one epoch."""
+        idx = self._epoch_indices(epoch)
+        nb = len(idx) // self.batch_size
+        if not self.drop_last and len(idx) % self.batch_size:
+            nb += 1
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    if self.pad_last and len(sel) < self.batch_size:
+                        sel = np.concatenate(
+                            [sel,
+                             np.repeat(sel[-1:], self.batch_size - len(sel))]
+                        )
+                    host = self.dataset.gather_batch(np.sort(sel))
+                    if self.sharding is not None:
+                        dev = tuple(
+                            jax.device_put(x, self.sharding) for x in host
+                        )
+                    else:
+                        dev = tuple(jax.device_put(x) for x in host)
+                    q.put(dev)
+                q.put(None)
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,161 @@
+"""Slice-level test harness over a preprocessed test split.
+
+Parity source: engine/test.py — checkpoint load with fallback dir
+(:202-232), test-split loader (:291-300), 4-step sampling (:180-199),
+per-slice jpg grids, then **global** min/max scaling across all slices
+before writing pred/pred_%05d.png and gt/gt_%05d.png uint8 pairs
+(:370-391) for tools/metric_calc.py.
+
+TPU-native improvement: the reference samples at batch_size=1
+(test.py:294); we batch slices (free parallelism on the MXU) — output
+files and their order are identical.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mudiff_tpu.config import MuDiffConfig
+from mudiff_tpu.data import BRATS_ORDERS, ISLES_ORDERS, SliceDataset
+from mudiff_tpu.diffusion import PosteriorCoefficients, sample_from_model
+from mudiff_tpu.models import NCSNppGenerator
+from mudiff_tpu.train.checkpoint import load_generator_params
+from mudiff_tpu.utils.reports import save_image_grid
+
+
+def _build_sampler(config: MuDiffConfig, g1, g2, pos_coeff):
+    compute_dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+
+    @jax.jit
+    def sample_fn(pg1, pg2, c1, c2, c3, x_init, key):
+        g1_fn = lambda x, a, b, c, t, z: g1.apply(
+            {"params": pg1}, x, a, b, c, t, z
+        )
+        g2_fn = lambda x, a, b, c, t, z, ps: g2.apply(
+            {"params": pg2}, x, a, b, c, t, z, pseudo_target=ps
+        )
+        return sample_from_model(
+            pos_coeff, g1_fn, g2_fn, c1, c2, c3, x_init,
+            config.num_timesteps, config.nz, key,
+            compute_dtype=compute_dtype,
+        )
+
+    return sample_fn
+
+
+def load_generators(
+    config: MuDiffConfig,
+    ckpt_dir: str,
+    fallback_dir: Optional[str] = None,
+):
+    """Init G1/G2 and load their weights (reference test.py:202-232)."""
+    dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
+    g1 = NCSNppGenerator(config=config, dtype=dtype)
+    g2 = NCSNppGenerator(config=config, adaptive=True, dtype=dtype)
+    s = config.image_size
+    x = jnp.zeros((1, s, s, config.num_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, config.nz), jnp.float32)
+    p1_tmpl = g1.init(jax.random.PRNGKey(0), x, x, x, x, t, z)["params"]
+    p2_tmpl = g2.init(
+        jax.random.PRNGKey(0), x, x, x, x, t, z, pseudo_target=x
+    )["params"]
+    pg1 = load_generator_params(
+        ckpt_dir, "gen_diffusive_1", p1_tmpl, fallback_dir
+    )
+    pg2 = load_generator_params(
+        ckpt_dir, "gen_diffusive_2", p2_tmpl, fallback_dir
+    )
+    return g1, g2, pg1, pg2
+
+
+def sample_and_test(
+    config: MuDiffConfig,
+    ckpt_dir: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    batch_size: int = 8,
+    save_grids: bool = False,
+    seed: int = 42,
+    generators=None,
+) -> Dict[str, str]:
+    """Run the full test split; write pred/ and gt/ PNG dirs.
+
+    ``generators`` may supply pre-loaded (g1, g2, pg1, pg2) to skip
+    checkpoint loading (used by tests and the demo path).
+    """
+    exp_dir = ckpt_dir or os.path.join(
+        config.output_path, config.exp, config.target_modality
+    )
+    output_dir = output_dir or os.path.join(exp_dir, "generated_samples")
+    os.makedirs(output_dir, exist_ok=True)
+    pred_dir = os.path.join(output_dir, "pred")
+    gt_dir = os.path.join(output_dir, "gt")
+    os.makedirs(pred_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+
+    orders = ISLES_ORDERS if config.dataset == "isles" else BRATS_ORDERS
+    ds = SliceDataset(
+        "test", config.input_path, config.target_modality, orders=orders
+    )
+    if generators is None:
+        g1, g2, pg1, pg2 = load_generators(config, exp_dir)
+    else:
+        g1, g2, pg1, pg2 = generators
+    pos_coeff = PosteriorCoefficients.from_config(config)
+    sample_fn = _build_sampler(config, g1, g2, pos_coeff)
+
+    key = jax.random.PRNGKey(seed)
+    all_pred = []
+    all_gt = []
+    n = len(ds)
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        c1, c2, c3, target = ds.gather_batch(idx)
+        # static-shape batches: pad the tail batch and trim after
+        pad = batch_size - len(idx)
+        if pad:
+            padder = lambda a: np.concatenate(
+                [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+            )
+            c1, c2, c3, target = map(padder, (c1, c2, c3, target))
+        key, k_init, k_s = jax.random.split(key, 3)
+        x_init = jax.random.normal(k_init, target.shape, jnp.float32)
+        fake = np.asarray(
+            sample_fn(pg1, pg2, jnp.asarray(c1), jnp.asarray(c2),
+                      jnp.asarray(c3), x_init, k_s)
+        )
+        if pad:
+            fake, target = fake[:-pad], target[:-pad]
+        all_pred.append(fake)
+        all_gt.append(target[..., : fake.shape[-1]])
+        if save_grids:
+            save_image_grid(
+                (fake + 1.0) / 2.0,
+                os.path.join(output_dir, f"grid_{start:05d}.png"),
+            )
+
+    pred = np.concatenate(all_pred, axis=0)[..., 0]
+    gt = np.concatenate(all_gt, axis=0)[..., 0]
+
+    # global min/max scaling across ALL slices (reference test.py:370-391)
+    from PIL import Image
+
+    pmin, pmax = float(pred.min()), float(pred.max())
+    gmin, gmax = float(gt.min()), float(gt.max())
+    pscale = (pmax - pmin) or 1.0
+    gscale = (gmax - gmin) or 1.0
+    for i in range(pred.shape[0]):
+        p8 = ((pred[i] - pmin) / pscale * 255.0).astype(np.uint8)
+        g8 = ((gt[i] - gmin) / gscale * 255.0).astype(np.uint8)
+        Image.fromarray(p8, mode="L").save(
+            os.path.join(pred_dir, f"pred_{i:05d}.png")
+        )
+        Image.fromarray(g8, mode="L").save(
+            os.path.join(gt_dir, f"gt_{i:05d}.png")
+        )
+    return {"pred_dir": pred_dir, "gt_dir": gt_dir, "n_slices": pred.shape[0]}

@@ -1,0 +1,405 @@
+"""Conditional NCSN++ AdaGN generators (G1 contrast-specific, G2
+contrast-aware adaptive).
+
+One structured Flax module covers both reference models
+(backbones/ncsnpp_generator_adagn_feat.py: NCSNpp:52-447,
+NCSNpp_adaptive:450-905) via ``adaptive=True`` — the two differ only in
+how the three condition images are encoded:
+
+* G1: four plain ``ConvFeatBlock`` encoders (x_t, c1, c2, c3), features
+  concatenated to nf*4 channels (reference :177-184, :318-330).
+* G2: G1's prediction (``pseudo_target``) is embedded to a 256-d style by
+  ``ConvBlock_GAP`` (:578, :733); the three condition encoders are
+  style-modulated ``ConvBlock``s (:580-582, :760-767); their features are
+  fused by cyclic pairwise attention (:620-631, :769-791).
+
+The trunk is the same UNet: BigGAN-AdaGN resblocks, progressive-input
+residual pyramid, Res-Attn-Res middle, skip-concat decoder, GroupNorm ->
+SiLU -> conv3x3 -> tanh head.  Unlike the reference's flat
+module-index-walk, submodules are named, so checkpoints are
+self-describing pytrees.
+
+Layout: NHWC; compute dtype configurable (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mudiff_tpu import ops
+from mudiff_tpu.config import MuDiffConfig
+from mudiff_tpu.nn.blocks import (
+    AdaptiveGroupNorm,
+    AffineGroupNorm,
+    AttnBlockpp,
+    Combine,
+    ConvBlock,
+    ConvBlockGAP,
+    ConvFeatBlock,
+    Downsample,
+    FIRConv2d,
+    GaussianFourierProjection,
+    ResnetBlockBigGANppAdagn,
+    ResnetBlockBigGANppAdagnOne,
+    ResnetBlockDDPMppAdagn,
+    Upsample,
+    _num_groups,
+)
+from mudiff_tpu.nn.initializers import default_init
+from mudiff_tpu.nn.layers import (
+    Conv1x1,
+    Conv3x3,
+    Dense,
+    PixelNorm,
+    get_timestep_embedding,
+)
+
+Dtype = Any
+
+
+class _ZTransform(nn.Module):
+    """Latent mapping network: PixelNorm + (n_mlp+1) dense+SiLU
+    (reference ncsnpp_generator_adagn_feat.py:271-277)."""
+
+    z_emb_dim: int
+    n_mlp: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        h = PixelNorm()(z)
+        h = jax.nn.silu(Dense(self.z_emb_dim, dtype=self.dtype, name="fc0")(h))
+        for i in range(self.n_mlp):
+            h = jax.nn.silu(
+                Dense(self.z_emb_dim, dtype=self.dtype, name=f"fc{i + 1}")(h)
+            )
+        return h
+
+
+class NCSNppGenerator(nn.Module):
+    """NCSN++ with AdaGN; ``adaptive=True`` gives the G2 variant."""
+
+    config: MuDiffConfig
+    adaptive: bool = False
+    # 3 = standard MU-Diff; 2 = the in-house "healthy" two-condition
+    # variant (reference ncsnpp_generator_adagn_feat_healthy.py:
+    # hs seed nf*3 / nf*2 at :180-184/:583-587, single pairwise fusion
+    # at :620-631/:755-759).
+    num_conditions: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond1: jnp.ndarray,
+        cond2: jnp.ndarray,
+        cond3: Optional[jnp.ndarray] = None,
+        time_cond: jnp.ndarray = None,
+        z: jnp.ndarray = None,
+        pseudo_target: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        assert (cond3 is None) == (self.num_conditions == 2), (
+            "pass cond3 iff num_conditions == 3"
+        )
+        cfg = self.config
+        act = jax.nn.silu
+        nf = cfg.num_channels_dae
+        ch_mult = cfg.ch_mult
+        num_res_blocks = cfg.num_res_blocks
+        attn_resolutions = cfg.attn_resolutions
+        num_resolutions = len(ch_mult)
+        all_resolutions = [cfg.image_size // (2 ** i) for i in range(num_resolutions)]
+        fir, fir_kernel = cfg.fir, cfg.fir_kernel
+        skip_rescale = cfg.skip_rescale
+        resblock_type = cfg.resblock_type.lower()
+        progressive = cfg.progressive.lower()
+        progressive_input = cfg.progressive_input.lower()
+        embedding_type = cfg.embedding_type.lower()
+        combine_method = cfg.progressive_combine.lower()
+        channels = cfg.num_channels
+        dt = self.dtype
+
+        assert progressive in ("none", "output_skip", "residual")
+        assert progressive_input in ("none", "input_skip", "residual")
+        assert embedding_type in ("fourier", "positional")
+
+        def resblock(name, out_ch=None, up=False, down=False):
+            if resblock_type == "ddpm":
+                return ResnetBlockDDPMppAdagn(
+                    act=act, features=out_ch, dropout=cfg.dropout,
+                    skip_rescale=skip_rescale, init_scale=0.0, dtype=dt,
+                    name=name,
+                )
+            cls = (
+                ResnetBlockBigGANppAdagnOne
+                if resblock_type == "biggan_oneadagn"
+                else ResnetBlockBigGANppAdagn
+            )
+            return cls(
+                act=act, features=out_ch, up=up, down=down,
+                dropout=cfg.dropout, fir=fir, fir_kernel=fir_kernel,
+                skip_rescale=skip_rescale, init_scale=0.0, dtype=dt,
+                name=name,
+            )
+
+        def attnblock(name):
+            return AttnBlockpp(
+                skip_rescale=skip_rescale, init_scale=0.0, dtype=dt, name=name
+            )
+
+        # --- embeddings -------------------------------------------------
+        zemb = _ZTransform(
+            cfg.z_emb_dim, cfg.n_mlp, dtype=dt, name="z_transform"
+        )(z)
+
+        if embedding_type == "fourier":
+            temb = GaussianFourierProjection(
+                embedding_size=nf, scale=cfg.fourier_scale, name="fourier_emb"
+            )(jnp.log(time_cond.astype(jnp.float32)))
+        else:
+            temb = get_timestep_embedding(time_cond, nf)
+        if cfg.conditional:
+            temb = nn.Dense(
+                nf * 4, kernel_init=default_init(),
+                bias_init=nn.initializers.zeros, dtype=dt,
+                param_dtype=jnp.float32, name="temb_dense0",
+            )(temb.astype(dt))
+            temb = nn.Dense(
+                nf * 4, kernel_init=default_init(),
+                bias_init=nn.initializers.zeros, dtype=dt,
+                param_dtype=jnp.float32, name="temb_dense1",
+            )(act(temb))
+        else:
+            temb = None
+
+        if not cfg.centered:
+            x = 2 * x - 1.0
+        x = x.astype(dt)
+        conds = [cond1.astype(dt), cond2.astype(dt)]
+        if self.num_conditions == 3:
+            conds.append(cond3.astype(dt))
+
+        input_pyramid = None
+        if progressive_input != "none":
+            input_pyramid = x
+
+        # --- condition encoding ----------------------------------------
+        if not self.adaptive:
+            x_feat = ConvFeatBlock(act, nf, dtype=dt, name="encoder_x")(x)
+            feats = [
+                ConvFeatBlock(act, nf, dtype=dt, name=f"encoder_c{i + 1}")(c)
+                for i, c in enumerate(conds)
+            ]
+            h = jnp.concatenate([x_feat] + feats, axis=-1)
+        else:
+            assert pseudo_target is not None, (
+                "adaptive generator requires pseudo_target (G1's prediction)"
+            )
+            pseudo_weight = ConvBlockGAP(
+                act, nf, zemb_dim=cfg.z_emb_dim, dtype=dt, name="pseudo_gap"
+            )(pseudo_target.astype(dt))
+            x_feat = ConvFeatBlock(act, nf, dtype=dt, name="encoder_x")(x)
+            feats = [
+                ConvBlock(act, nf, dtype=dt, name=f"encoder_c{i + 1}")(
+                    c, pseudo_weight
+                )
+                for i, c in enumerate(conds)
+            ]
+            allc = jnp.concatenate(feats, axis=-1)
+
+            def gate(name):
+                return jax.nn.sigmoid(Conv3x3(nf, dtype=dt, name=name)(allc))
+
+            if self.num_conditions == 3:
+                # cyclic pairwise attention fusion (reference :620-631,
+                # :769-791)
+                c1, c2, c3 = feats
+                a1_12, a2_12 = gate("feat_att1_c12"), gate("feat_att2_c12")
+                a1_23, a2_23 = gate("feat_att1_c23"), gate("feat_att2_c23")
+                a1_31, a2_31 = gate("feat_att1_c31"), gate("feat_att2_c31")
+                c1_att = Conv3x3(nf, dtype=dt, name="feat_weight_c1")(
+                    a1_12 * c1
+                )
+                fused12 = a2_12 * c1_att + (1 - a2_12) * c2
+                c2_att = Conv3x3(nf, dtype=dt, name="feat_weight_c2")(
+                    a1_23 * c2
+                )
+                fused23 = a2_23 * c2_att + (1 - a2_23) * c3
+                c3_att = Conv3x3(nf, dtype=dt, name="feat_weight_c3")(
+                    a1_31 * c3
+                )
+                fused31 = a2_31 * c3_att + (1 - a2_31) * c1
+                h = jnp.concatenate(
+                    [x_feat, fused12, fused23, fused31], axis=-1
+                )
+            else:
+                # single pairwise fusion (healthy reference :620-631,
+                # :749-759)
+                c1, c2 = feats
+                a1_12, a2_12 = gate("feat_att1_c12"), gate("feat_att2_c12")
+                c1_att = Conv3x3(nf, dtype=dt, name="feat_weight_c1")(
+                    a1_12 * c1
+                )
+                fused12 = a2_12 * c1_att + (1 - a2_12) * c2
+                h = jnp.concatenate([x_feat, fused12], axis=-1)
+
+        # --- encoder ----------------------------------------------------
+        hs = [h]
+        input_pyramid_ch = channels
+        for i_level in range(num_resolutions):
+            for i_block in range(num_res_blocks):
+                out_ch = nf * ch_mult[i_level]
+                h = resblock(f"down_{i_level}_{i_block}", out_ch)(
+                    hs[-1], temb, zemb, train=train
+                )
+                if all_resolutions[i_level] in attn_resolutions:
+                    h = attnblock(f"down_attn_{i_level}_{i_block}")(h)
+                hs.append(h)
+
+            if i_level != num_resolutions - 1:
+                if resblock_type == "ddpm":
+                    h = Downsample(
+                        with_conv=cfg.resamp_with_conv, fir=fir,
+                        fir_kernel=fir_kernel, dtype=dt,
+                        name=f"downsample_{i_level}",
+                    )(hs[-1])
+                else:
+                    h = resblock(f"downsample_{i_level}", down=True)(
+                        hs[-1], temb, zemb, train=train
+                    )
+                if progressive_input == "input_skip":
+                    input_pyramid = Downsample(
+                        fir=fir, fir_kernel=fir_kernel, with_conv=False,
+                        dtype=dt, name=f"pyramid_downsample_{i_level}",
+                    )(input_pyramid)
+                    h = Combine(
+                        features=h.shape[-1], method=combine_method, dtype=dt,
+                        name=f"combine_{i_level}",
+                    )(input_pyramid, h)
+                elif progressive_input == "residual":
+                    input_pyramid = Downsample(
+                        features=h.shape[-1], fir=fir, fir_kernel=fir_kernel,
+                        with_conv=True, dtype=dt,
+                        name=f"pyramid_downsample_{i_level}",
+                    )(input_pyramid)
+                    if skip_rescale:
+                        input_pyramid = (
+                            (input_pyramid + h) / np.sqrt(2.0)
+                        ).astype(h.dtype)
+                    else:
+                        input_pyramid = input_pyramid + h
+                    h = input_pyramid
+                hs.append(h)
+
+        # --- middle -----------------------------------------------------
+        h = hs[-1]
+        h = resblock("mid_block1")(h, temb, zemb, train=train)
+        h = attnblock("mid_attn")(h)
+        h = resblock("mid_block2")(h, temb, zemb, train=train)
+
+        # --- decoder ----------------------------------------------------
+        pyramid = None
+        pyramid_ch = 0
+        for i_level in reversed(range(num_resolutions)):
+            for i_block in range(num_res_blocks + 1):
+                out_ch = nf * ch_mult[i_level]
+                h = resblock(f"up_{i_level}_{i_block}", out_ch)(
+                    jnp.concatenate([h, hs.pop()], axis=-1),
+                    temb, zemb, train=train,
+                )
+            if all_resolutions[i_level] in attn_resolutions:
+                h = attnblock(f"up_attn_{i_level}")(h)
+
+            if progressive != "none":
+                if i_level == num_resolutions - 1:
+                    if progressive == "output_skip":
+                        pyramid = act(
+                            AffineGroupNorm(
+                                _num_groups(h.shape[-1]), dtype=dt,
+                                name=f"pyramid_norm_{i_level}",
+                            )(h)
+                        )
+                        pyramid = Conv3x3(
+                            channels, init_scale=0.0, dtype=dt,
+                            name=f"pyramid_conv_{i_level}",
+                        )(pyramid)
+                        pyramid_ch = channels
+                    else:  # residual
+                        pyramid = act(
+                            AffineGroupNorm(
+                                _num_groups(h.shape[-1]), dtype=dt,
+                                name=f"pyramid_norm_{i_level}",
+                            )(h)
+                        )
+                        pyramid = Conv3x3(
+                            h.shape[-1], dtype=dt,
+                            name=f"pyramid_conv_{i_level}",
+                        )(pyramid)
+                        pyramid_ch = h.shape[-1]
+                else:
+                    if progressive == "output_skip":
+                        pyramid = Upsample(
+                            fir=fir, fir_kernel=fir_kernel, with_conv=False,
+                            dtype=dt, name=f"pyramid_upsample_nc_{i_level}",
+                        )(pyramid)
+                        pyramid_h = act(
+                            AffineGroupNorm(
+                                _num_groups(h.shape[-1]), dtype=dt,
+                                name=f"pyramid_norm_{i_level}",
+                            )(h)
+                        )
+                        pyramid_h = Conv3x3(
+                            channels, init_scale=0.0, dtype=dt,
+                            name=f"pyramid_conv_{i_level}",
+                        )(pyramid_h)
+                        pyramid = pyramid + pyramid_h
+                    else:  # residual
+                        pyramid = Upsample(
+                            features=h.shape[-1], fir=fir,
+                            fir_kernel=fir_kernel, with_conv=True, dtype=dt,
+                            name=f"pyramid_upsample_{i_level}",
+                        )(pyramid)
+                        if skip_rescale:
+                            pyramid = ((pyramid + h) / np.sqrt(2.0)).astype(
+                                h.dtype
+                            )
+                        else:
+                            pyramid = pyramid + h
+                        h = pyramid
+
+            if i_level != 0:
+                if resblock_type == "ddpm":
+                    h = Upsample(
+                        with_conv=cfg.resamp_with_conv, fir=fir,
+                        fir_kernel=fir_kernel, dtype=dt,
+                        name=f"upsample_{i_level}",
+                    )(h)
+                else:
+                    h = resblock(f"upsample_{i_level}", up=True)(
+                        h, temb, zemb, train=train
+                    )
+
+        assert not hs
+
+        if progressive == "output_skip":
+            h = pyramid
+        else:
+            h = act(
+                AffineGroupNorm(
+                    _num_groups(h.shape[-1]), dtype=dt, name="final_norm"
+                )(h)
+            )
+            h = Conv3x3(
+                channels, init_scale=0.0, dtype=dt, name="final_conv"
+            )(h)
+
+        if not cfg.not_use_tanh:
+            return jnp.tanh(h.astype(jnp.float32))
+        return h.astype(jnp.float32)

@@ -1,0 +1,154 @@
+"""Checkpointing: full training state ("content") + generator-only
+inference weights.
+
+Reference artifact kinds (engine/train.py:1107-1140):
+  * content.pth — full resume state {epoch, global_step, args, 3x model,
+    3x optimizer, 3x scheduler}, every save_content_every epochs.
+  * gen_diffusive_{1,2}.pth — generator-only weights for inference,
+    every save_ckpt_every epochs, EMA-swapped when EMA is on.
+
+Here both are orbax directory checkpoints of plain pytrees; there is no
+DDP "module." prefix to strip and the optimizer/schedule state rides in
+the same pytree (reference test.py:209-211 prefix games are gone).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mudiff_tpu.train.state import MutualTrainState
+
+PyTree = Any
+
+
+def _ckptr() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def _to_host(tree: PyTree) -> PyTree:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_content(
+    exp_dir: str,
+    state: MutualTrainState,
+    epoch: int,
+    global_step: int,
+) -> str:
+    """Full training state for resume."""
+    path = os.path.join(os.path.abspath(exp_dir), "content")
+    payload = {
+        "epoch": np.asarray(epoch),
+        "global_step": np.asarray(global_step),
+        "step": _to_host(state.step),
+        "params_g1": _to_host(state.params_g1),
+        "params_g2": _to_host(state.params_g2),
+        "params_d": _to_host(state.params_d),
+        "opt_g1": _to_host(state.opt_g1),
+        "opt_g2": _to_host(state.opt_g2),
+        "opt_d": _to_host(state.opt_d),
+        "ema_g1": _to_host(state.ema_g1) if state.ema_g1 is not None else None,
+        "ema_g2": _to_host(state.ema_g2) if state.ema_g2 is not None else None,
+        "att_conv": _to_host(state.att_conv),
+    }
+    ckptr = _ckptr()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore_content(
+    exp_dir: str, state: MutualTrainState
+) -> Tuple[MutualTrainState, int, int]:
+    """Restore a content checkpoint into an existing (template) state."""
+    path = os.path.join(os.path.abspath(exp_dir), "content")
+    restored = _ckptr().restore(path)
+
+    def like(template, saved):
+        if template is None or saved is None:
+            return template
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        s_leaves = jax.tree_util.tree_leaves(saved)
+        assert len(t_leaves) == len(s_leaves), (
+            f"checkpoint structure mismatch: {len(s_leaves)} leaves vs "
+            f"{len(t_leaves)} in template"
+        )
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jax.numpy.asarray(s, dtype=t.dtype).reshape(t.shape)
+                for t, s in zip(t_leaves, s_leaves)
+            ],
+        )
+
+    state = state.replace(
+        step=jax.numpy.asarray(restored["step"]),
+        params_g1=like(state.params_g1, restored["params_g1"]),
+        params_g2=like(state.params_g2, restored["params_g2"]),
+        params_d=like(state.params_d, restored["params_d"]),
+        opt_g1=like(state.opt_g1, restored["opt_g1"]),
+        opt_g2=like(state.opt_g2, restored["opt_g2"]),
+        opt_d=like(state.opt_d, restored["opt_d"]),
+        ema_g1=like(state.ema_g1, restored.get("ema_g1")),
+        ema_g2=like(state.ema_g2, restored.get("ema_g2")),
+        att_conv=like(state.att_conv, restored["att_conv"]),
+    )
+    return state, int(restored["epoch"]), int(restored["global_step"])
+
+
+def save_generators(
+    exp_dir: str,
+    state: MutualTrainState,
+    epoch: Optional[int] = None,
+    use_ema_weights: bool = True,
+) -> Tuple[str, str]:
+    """Generator-only inference weights (EMA-swapped when enabled),
+    written as gen_diffusive_1/ and gen_diffusive_2/ (+ epoch-tagged
+    copies like the reference's gen_diffusive_1_{epoch}.pth)."""
+    p1, p2 = state.generator_params(use_ema_weights=use_ema_weights)
+    ckptr = _ckptr()
+    base = os.path.abspath(exp_dir)
+    names = ["gen_diffusive_1", "gen_diffusive_2"]
+    paths = []
+    for name, params in zip(names, (p1, p2)):
+        path = os.path.join(base, name)
+        ckptr.save(path, _to_host(params), force=True)
+        paths.append(path)
+        if epoch is not None:
+            ckptr.save(
+                os.path.join(base, f"{name}_{epoch}"),
+                _to_host(params),
+                force=True,
+            )
+    return tuple(paths)
+
+
+def load_generator_params(
+    ckpt_dir: str,
+    name: str,
+    template: PyTree,
+    fallback_dir: Optional[str] = None,
+) -> PyTree:
+    """Load generator weights with a fallback directory (reference
+    test.py:215-232)."""
+    for base in filter(None, [ckpt_dir, fallback_dir]):
+        path = os.path.join(os.path.abspath(base), name)
+        if os.path.isdir(path):
+            restored = _ckptr().restore(path)
+            t_leaves, treedef = jax.tree_util.tree_flatten(template)
+            s_leaves = jax.tree_util.tree_leaves(restored)
+            assert len(t_leaves) == len(s_leaves)
+            return jax.tree_util.tree_unflatten(
+                treedef,
+                [
+                    jax.numpy.asarray(s, dtype=t.dtype).reshape(t.shape)
+                    for t, s in zip(t_leaves, s_leaves)
+                ],
+            )
+    raise FileNotFoundError(
+        f"no checkpoint {name} under {ckpt_dir} or {fallback_dir}"
+    )

@@ -1,0 +1,165 @@
+"""Model parity tests: parameter counts and output shapes.
+
+Reference parameter counts at nf=64 are the shipped training log's
+"[MODEL]" line (/root/reference/error_logs/log_mudiff_t2.13966160.out):
+G1 20,472,065 / G2 21,399,681 / D 27,736,705 — i.e. the shipped logs ran
+the README width num_channels_dae=64, not the YAML's 128 (a documented
+reference footgun).  The nf=128 counts (G1 72,759,809 / G2 76,236,801)
+were obtained by instantiating the reference torch models directly during
+development.  Exact count matches at both widths pin the whole
+architecture graph (ch_mult [1,2,4], num_res_blocks 2, z/t_emb 256,
+nz 100, ngf 64, attn inactive as at 256^2 with attn_resolutions (16,)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mudiff_tpu.config import MuDiffConfig, brats_recipe
+from mudiff_tpu.models import DiscriminatorLarge, NCSNppGenerator
+
+
+def _count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# Param counts don't depend on image size as long as the resolution set
+# keeps attention inactive, so init at 32^2 for speed with a sentinel
+# attn resolution that never fires (matching 256^2 + (16,)).
+CFG = brats_recipe(image_size=32, attn_resolutions=(5,), num_channels_dae=64)
+
+
+@pytest.fixture(scope="module")
+def small_inputs():
+    b = 2
+    x = jnp.zeros((b, 32, 32, 1))
+    t = jnp.zeros((b,), jnp.int32)
+    z = jnp.zeros((b, CFG.nz))
+    return x, t, z
+
+
+@pytest.fixture(scope="module")
+def g1_vars(small_inputs):
+    x, t, z = small_inputs
+    model = NCSNppGenerator(config=CFG)
+    return model.init(jax.random.PRNGKey(0), x, x, x, x, t, z)
+
+
+@pytest.fixture(scope="module")
+def g2_vars(small_inputs):
+    x, t, z = small_inputs
+    model = NCSNppGenerator(config=CFG, adaptive=True)
+    return model.init(
+        jax.random.PRNGKey(0), x, x, x, x, t, z, pseudo_target=x
+    )
+
+
+def test_g1_param_count(g1_vars):
+    assert _count(g1_vars["params"]) == 20_472_065
+
+
+def test_g2_param_count(g2_vars):
+    assert _count(g2_vars["params"]) == 21_399_681
+
+
+def test_param_counts_nf128():
+    """The YAML-recipe width (num_channels_dae=128)."""
+    cfg = brats_recipe(image_size=16, attn_resolutions=(5,))
+    x = jnp.zeros((1, 16, 16, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, cfg.nz))
+    v1 = NCSNppGenerator(config=cfg).init(
+        jax.random.PRNGKey(0), x, x, x, x, t, z
+    )
+    assert _count(v1["params"]) == 72_759_809
+    v2 = NCSNppGenerator(config=cfg, adaptive=True).init(
+        jax.random.PRNGKey(0), x, x, x, x, t, z, pseudo_target=x
+    )
+    assert _count(v2["params"]) == 76_236_801
+
+
+def test_critic_param_count(small_inputs):
+    x, t, _ = small_inputs
+    model = DiscriminatorLarge(ngf=64, t_emb_dim=256)
+    variables = model.init(jax.random.PRNGKey(0), x, t, x)
+    assert _count(variables["params"]) == 27_736_705
+
+
+def test_g1_forward_shape_and_range(g1_vars, small_inputs):
+    x, t, z = small_inputs
+    model = NCSNppGenerator(config=CFG)
+    out = model.apply(g1_vars, x, x, x, x, t, z)
+    assert out.shape == (2, 32, 32, 1)
+    assert np.all(np.abs(np.asarray(out)) <= 1.0)  # tanh head
+
+
+def test_g2_forward_shape(g2_vars, small_inputs):
+    x, t, z = small_inputs
+    model = NCSNppGenerator(config=CFG, adaptive=True)
+    out = model.apply(g2_vars, x, x, x, x, t, z, pseudo_target=x)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_critic_forward_shapes(small_inputs):
+    x, t, _ = small_inputs
+    model = DiscriminatorLarge(ngf=64, t_emb_dim=256)
+    variables = model.init(jax.random.PRNGKey(0), x, t, x)
+    logit, mid = model.apply(variables, x, t, x)
+    assert logit.shape == (2,)
+    # mid_feat is after 3 of 6 downsamples: 32/8 = 4, ngf*8 channels
+    assert mid.shape == (2, 4, 4, 512)
+
+
+def test_attention_fires_at_configured_resolution():
+    """With image_size 32 and attn at 16, encoder/decoder attention blocks
+    must appear (and change the parameter count)."""
+    cfg_attn = brats_recipe(image_size=32, attn_resolutions=(16,))
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, cfg_attn.nz))
+    model = NCSNppGenerator(config=cfg_attn)
+    v = model.init(jax.random.PRNGKey(0), x, x, x, x, t, z)
+    names = jax.tree_util.tree_structure(v["params"]).unflatten(
+        range(len(jax.tree_util.tree_leaves(v["params"])))
+    )
+    keys = set(v["params"].keys())
+    assert any(k.startswith("down_attn_") for k in keys)
+    assert any(k.startswith("up_attn_") for k in keys)
+    assert _count(v["params"]) > 20_472_065  # nf=64 base
+
+
+def test_generator_bf16_compute():
+    """bf16 compute dtype must produce finite outputs with fp32 params."""
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, CFG.nz))
+    model = NCSNppGenerator(config=CFG, dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), x, x, x, x, t, z)
+    leaf = jax.tree_util.tree_leaves(v["params"])[0]
+    assert leaf.dtype == jnp.float32
+    out = model.apply(v, x, x, x, x, t, z)
+    assert out.dtype == jnp.float32  # head casts back
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_healthy_two_condition_variant_param_counts():
+    """The 2-condition ("healthy") variant: reference counts obtained by
+    instantiating backbones/ncsnpp_generator_adagn_feat_healthy.py at
+    nf=64 during development: G1 20,286,785 / G2 20,443,585."""
+    cfg = brats_recipe(
+        image_size=32, attn_resolutions=(5,), num_channels_dae=64
+    )
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, cfg.nz))
+    m1 = NCSNppGenerator(config=cfg, num_conditions=2)
+    v1 = m1.init(jax.random.PRNGKey(0), x, x, x, time_cond=t, z=z)
+    assert _count(v1["params"]) == 20_286_785
+    out = m1.apply(v1, x, x, x, time_cond=t, z=z)
+    assert out.shape == (1, 32, 32, 1)
+    m2 = NCSNppGenerator(config=cfg, adaptive=True, num_conditions=2)
+    v2 = m2.init(
+        jax.random.PRNGKey(0), x, x, x, time_cond=t, z=z, pseudo_target=x
+    )
+    assert _count(v2["params"]) == 20_443_585

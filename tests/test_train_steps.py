@@ -1,0 +1,121 @@
+"""Smoke + sharding tests for the adversarial train steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mudiff_tpu.config import MuDiffConfig
+from mudiff_tpu.parallel import batch_sharding, make_mesh, shard_params
+from mudiff_tpu.train import create_train_state, make_train_step
+
+TINY = MuDiffConfig(
+    image_size=64,
+    num_channels=1,
+    num_channels_dae=16,
+    ch_mult=(1, 2),
+    num_res_blocks=1,
+    attn_resolutions=(8,),
+    z_emb_dim=32,
+    t_emb_dim=32,
+    nz=8,
+    ngf=8,
+    num_timesteps=4,
+    r1_gamma=0.05,
+    lazy_reg=2,
+    use_bf16=False,  # fp32 on CPU for test determinism
+)
+
+
+def _batch(b=4, s=64):
+    rng = np.random.RandomState(0)
+    mk = lambda: jnp.asarray(rng.randn(b, s, s, 1).astype(np.float32) * 0.5)
+    return mk(), mk(), mk(), mk()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    state, g1, g2, d = create_train_state(
+        TINY, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    step = make_train_step(TINY, g1.apply, g2.apply, d.apply)
+    return state, step
+
+
+def test_train_step_runs_and_updates(setup):
+    state, step = setup
+    batch = _batch()
+    def tree_l1(a, b):
+        return sum(
+            float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+            for x, y in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        )
+
+    d_before = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params_d)
+    g_before = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params_g1)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1), with_r1=True)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert metrics["R1"] >= 0.0
+    assert int(state2.step) == 1
+    assert tree_l1(d_before, state2.params_d) > 0.0
+    assert tree_l1(g_before, state2.params_g1) > 0.0
+    # att_conv stays frozen (reference quirk: not in any optimizer)
+    np.testing.assert_array_equal(
+        np.asarray(state.att_conv["w"]), np.asarray(state2.att_conv["w"])
+    )
+
+
+def test_train_step_without_r1(setup):
+    state, step = setup
+    state2, metrics = step(state, _batch(), jax.random.PRNGKey(2), with_r1=False)
+    assert float(metrics["R1"]) == 0.0
+    assert np.isfinite(float(metrics["D_total"]))
+
+
+def test_train_step_on_mesh():
+    """Full train step over a (data=4, fsdp=2) mesh of 8 CPU devices:
+    batch sharded over data, params ZeRO-sharded over fsdp."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(dp=4, fsdp=2)
+    state, g1, g2, d = create_train_state(
+        TINY, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    with mesh:
+        state = state.replace(
+            params_g1=shard_params(state.params_g1, mesh),
+            params_g2=shard_params(state.params_g2, mesh),
+            params_d=shard_params(state.params_d, mesh),
+            opt_g1=shard_params(state.opt_g1, mesh),
+            opt_g2=shard_params(state.opt_g2, mesh),
+            opt_d=shard_params(state.opt_d, mesh),
+        )
+        bs = batch_sharding(mesh)
+        batch = tuple(jax.device_put(x, bs) for x in _batch(b=8))
+        step = make_train_step(TINY, g1.apply, g2.apply, d.apply)
+        state2, metrics = step(state, batch, jax.random.PRNGKey(3), with_r1=True)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+        # params keep their sharding layout after the update
+        leaf = jax.tree_util.tree_leaves(state2.params_g1)[0]
+        assert leaf.sharding is not None
+
+
+def test_ema_tracks_params():
+    cfg = TINY.replace(use_ema=True, ema_decay=0.5)
+    state, g1, g2, d = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    step = make_train_step(cfg, g1.apply, g2.apply, d.apply)
+    state2, _ = step(state, _batch(), jax.random.PRNGKey(1), with_r1=False)
+    p = jax.tree_util.tree_leaves(state2.params_g1)[0]
+    e = jax.tree_util.tree_leaves(state2.ema_g1)[0]
+    p0 = jax.tree_util.tree_leaves(state.params_g1)[0]
+    np.testing.assert_allclose(
+        np.asarray(e), 0.5 * np.asarray(p0) + 0.5 * np.asarray(p), atol=1e-6
+    )
+    ema1, ema2 = state2.generator_params(use_ema_weights=True)
+    assert ema1 is state2.ema_g1
