@@ -31,6 +31,7 @@ from mudiff_tpu.parallel import batch_sharding, make_mesh, shard_params
 from mudiff_tpu.train import checkpoint as ckpt
 from mudiff_tpu.train.state import create_train_state
 from mudiff_tpu.train.steps import make_d_step, make_g_step
+from mudiff_tpu.utils.profiling import StepTimer, device_memory_stats, maybe_profile
 from mudiff_tpu.utils.reports import epoch_visual_report, save_image_grid
 
 
@@ -150,23 +151,23 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
         val_psnr = np.zeros_like(val_l1)
 
         # ---- epochs ----------------------------------------------------
+        timer = StepTimer()
         for epoch in range(init_epoch, config.num_epoch):
             ep_start = time.time()
             ep_losses: Dict[str, float] = {}
             ep_count = 0
-            window_start = time.time()
-            data_time_acc = 0.0
-            t_mark = time.time()
+            timer.reset()
 
             for it, batch in enumerate(loader.epoch(epoch)):
-                data_time_acc += time.time() - t_mark
+                timer.mark_data_ready()
                 rng, kd, kg = jax.random.split(rng, 3)
                 with_r1 = (
                     config.lazy_reg is None
                     or global_step % config.lazy_reg == 0
                 )
-                state, d_aux = d_step(state, batch, kd, with_r1)
-                state, g_aux = g_step(state, batch, kg)
+                with maybe_profile(global_step):
+                    state, d_aux = d_step(state, batch, kd, with_r1)
+                    state, g_aux = g_step(state, batch, kg)
                 global_step += 1
                 ep_count += 1
 
@@ -176,7 +177,7 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                     }
                     for k, v in metrics.items():
                         ep_losses[k] = ep_losses.get(k, 0.0) + v
-                    window = time.time() - window_start
+                    window = timer.window()
                     ips = config.log_every * global_batch / max(window, 1e-9)
                     log(
                         f"[TRAIN] ep {epoch} it {it + 1}/{steps_per_epoch} "
@@ -185,11 +186,15 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                         f"mask {metrics['G_mask']:.4f}) "
                         f"D={metrics['D_total']:.4f} R1={metrics['R1']:.4f} "
                         f"ips={ips:.1f} time(b/d)={window:.1f}/"
-                        f"{data_time_acc:.1f}s bs={config.batch_size}x{n_data}"
+                        f"{timer.data_time:.1f}s bs={config.batch_size}x{n_data}"
                     )
-                    window_start = time.time()
-                    data_time_acc = 0.0
-                t_mark = time.time()
+                    if config.log_mem_after_update:
+                        for dev, st in device_memory_stats().items():
+                            log(f"[MEM] {dev}: "
+                                f"in_use={st['bytes_in_use_gib']:.2f}GiB "
+                                f"peak={st['peak_bytes_gib']:.2f}GiB")
+                    timer.reset()
+                timer.mark_step_done()
 
             # ---- per-epoch tail ---------------------------------------
             epoch_time = time.time() - ep_start
