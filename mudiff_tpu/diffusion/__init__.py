@@ -13,4 +13,5 @@ from mudiff_tpu.diffusion.sampling import (  # noqa: F401
     sample_from_model,
     sample_posterior,
     sample_posterior_combine,
+    uncer_loss,
 )

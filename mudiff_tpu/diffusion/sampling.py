@@ -184,3 +184,13 @@ def sample_from_model(
     steps = jnp.arange(num_timesteps - 1, -1, -1)
     (x, _), _ = jax.lax.scan(step, (x_init.astype(jnp.float32), key), steps)
     return x
+
+
+def uncer_loss(mean: jnp.ndarray, var: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian-NLL-style uncertainty loss.
+
+    Defined-but-never-called in the reference (engine/train.py:378-382);
+    kept for capability parity and documented as such.
+    """
+    loss1 = jnp.exp(-var) * (mean - label) ** 2
+    return jnp.mean(0.5 * (loss1 + var))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from typing import Dict, Optional
 
@@ -145,6 +146,24 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 ),
             )
             log(f"warm-started generators from {config.pretrained_dir}")
+
+        # Preemption safety (the TPU-idiomatic replacement for the
+        # reference's fail-fast + resubmit flow, SURVEY.md §5): on
+        # SIGTERM/SIGINT finish the current step, save a full content
+        # checkpoint, and exit cleanly so --resume continues.
+        _stop_requested = {"flag": False}
+
+        def _on_term(signum, frame):
+            _stop_requested["flag"] = True
+            log(f"[signal] {signal.Signals(signum).name} received — will "
+                "checkpoint and stop at the next step boundary")
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:
+                pass  # non-main thread
 
         history_path = os.path.join(exp_dir, "training_history.json")
         val_l1 = np.zeros((2, config.num_epoch + 1, max(1, len(loader_val))))
@@ -282,4 +301,6 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                     use_ema_weights=config.use_ema,
                 )
 
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
     return {"exp_dir": exp_dir, "history": history_path}

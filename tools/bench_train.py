@@ -1,0 +1,66 @@
+"""Training-step throughput benchmark (informational; bench.py is the
+scored headline).
+
+Measures full mutual-learning train iterations (D step + G step,
+including the lazy-R1 cadence) on synthetic data at the logged reference
+recipe, reporting slices/sec/chip — directly comparable to the
+reference's only measured runtime number: ~6 slices/s per GPU at
+per-GPU batch 2 on A100, host-data-bound (BASELINE.md).
+
+Usage: PYTHONPATH=.:/root/.axon_site python tools/bench_train.py
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from mudiff_tpu.config import brats_recipe
+    from mudiff_tpu.train import create_train_state, make_train_step
+
+    cfg = brats_recipe(
+        num_channels_dae=64, image_size=256, use_bf16=True, lazy_reg=16,
+    )
+    batch = 8
+    state, g1, g2, d = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=100
+    )
+    step = make_train_step(cfg, g1.apply, g2.apply, d.apply, donate=True)
+
+    rng = np.random.RandomState(0)
+    mk = lambda: jnp.asarray(
+        rng.randn(batch, 256, 256, 1).astype(np.float32) * 0.3
+    )
+    batch_data = (mk(), mk(), mk(), mk())
+
+    # warmup compiles (both R1 variants)
+    state, _ = step(state, batch_data, jax.random.PRNGKey(1), with_r1=True)
+    state, m = step(state, batch_data, jax.random.PRNGKey(2), with_r1=False)
+    jax.block_until_ready(m["G_total"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        with_r1 = i % cfg.lazy_reg == 0
+        state, m = step(
+            state, batch_data, jax.random.PRNGKey(3 + i), with_r1=with_r1
+        )
+    jax.block_until_ready(m["G_total"])
+    dt = time.perf_counter() - t0
+    sps = batch * iters / dt
+    print(json.dumps({
+        "metric": "train_step_throughput_256_nf64",
+        "value": round(sps, 3),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(sps / 6.0, 3),
+        "batch": batch,
+        "ms_per_iter": round(dt / iters * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
