@@ -11,7 +11,7 @@ reference where randn_like produces fp32 outside autocast.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mudiff_tpu import ops
 from mudiff_tpu.config import MuDiffConfig
 from mudiff_tpu.nn.blocks import (
     AdaptiveGroupNorm,
@@ -52,7 +51,6 @@ from mudiff_tpu.nn.blocks import (
 )
 from mudiff_tpu.nn.initializers import default_init
 from mudiff_tpu.nn.layers import (
-    Conv1x1,
     Conv3x3,
     Dense,
     PixelNorm,

@@ -11,7 +11,6 @@ parameters stay fp32.  GroupNorm statistics are always computed in fp32.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -23,10 +23,8 @@ reference hacked in via torch memory_format).
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

@@ -10,7 +10,6 @@ program over a device mesh.
 
 from __future__ import annotations
 
-import json
 import os
 import signal
 import time
