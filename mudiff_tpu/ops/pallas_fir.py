@@ -29,6 +29,15 @@ Phase decomposition (1-D, taps k0..k3 of the normalized kernel):
 Both carry a jax.custom_vjp with the XLA composition as backward
 (adjoint of normalized-FIR-conv + stride2 == zero-insert + same FIR at
 1/4 the upsample gain, and vice versa), so they work inside training.
+
+STATUS: numerically exact (fwd+bwd) under the Pallas interpreter at all
+model shapes (tests/test_pallas_fir.py).  The Mosaic-compiled path
+currently faults the TPU worker in this axon remote-execution
+environment (suspected DMA-from-HBM lowering issue with
+``ref.at[b, pl.ds(...)]`` sources); it stays opt-in
+(MUDIFF_PALLAS_FIR=1) and the XLA lowering — which measures
+0.02-0.04 ms at model shapes, see PERFORMANCE.md — remains the default
+and authoritative implementation.
 """
 
 from __future__ import annotations
@@ -124,7 +133,7 @@ def _down2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
         kern,
         out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
         grid=(n, ho // h_tile),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, h_tile, wo, c),
             lambda b, i: (b, i, 0, 0),
@@ -180,7 +189,7 @@ def _up2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
         kern,
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
         grid=(n, h // h_tile),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, 2 * h_tile, 2 * w, c),
             lambda b, i: (b, i, 0, 0),
