@@ -200,8 +200,13 @@ class NCSNppGenerator(nn.Module):
             assert pseudo_target is not None, (
                 "adaptive generator requires pseudo_target (G1's prediction)"
             )
+            # The pseudo-target style vector is 256-d regardless of
+            # z_emb_dim: the reference's ConvBlock_GAP partial never
+            # passes zemb_dim, so the layerspp default of 256 applies
+            # (ncsnpp_generator_adagn_feat.py:555-557,
+            # layerspp.py:459).
             pseudo_weight = ConvBlockGAP(
-                act, nf, zemb_dim=cfg.z_emb_dim, dtype=dt, name="pseudo_gap"
+                act, nf, zemb_dim=256, dtype=dt, name="pseudo_gap"
             )(pseudo_target.astype(dt))
             x_feat = ConvFeatBlock(act, nf, dtype=dt, name="encoder_x")(x)
             feats = [
