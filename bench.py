@@ -16,6 +16,7 @@ the single-accelerator denominator.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import sys
 import time
@@ -45,7 +46,7 @@ def main() -> None:
     params_g2 = g2.init(k2, x1, x1, x1, x1, t1, z1, pseudo_target=x1)["params"]
 
     def make_sampler(batch):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(5,))
         def sampler(pg1, pg2, c1, c2, c3, x_init, key):
             g1_fn = lambda x, a, b, c, t, z: g1.apply(
                 {"params": pg1}, x, a, b, c, t, z
@@ -59,9 +60,13 @@ def main() -> None:
             )
         return sampler
 
-    # pick the largest batch that fits
+    # measure candidate batch sizes that fit; keep the best throughput
+    # (biggest is not always fastest on this chip)
     value = None
-    for batch in (32, 16, 8, 4, 2, 1):
+    tried_ok = 0
+    for batch in (64, 32, 16, 8, 4, 2, 1):
+        if tried_ok >= 2:
+            break
         try:
             sampler = make_sampler(batch)
             c = jnp.zeros((batch, s, s, 1), jnp.float32)
@@ -72,14 +77,23 @@ def main() -> None:
                           jax.random.PRNGKey(2))
             out.block_until_ready()  # compile + warmup
             iters = 5 if batch >= 8 else 10
+            inits = [
+                jax.random.normal(
+                    jax.random.PRNGKey(100 + i), (batch, s, s, 1),
+                    jnp.float32,
+                )
+                for i in range(iters)
+            ]
+            for xi in inits:
+                xi.block_until_ready()
             start = time.perf_counter()
             for i in range(iters):
-                out = sampler(params_g1, params_g2, c, c, c, x_init,
+                out = sampler(params_g1, params_g2, c, c, c, inits[i],
                               jax.random.PRNGKey(3 + i))
             out.block_until_ready()
             elapsed = time.perf_counter() - start
-            value = batch * iters / elapsed
-            break
+            value = max(value or 0.0, batch * iters / elapsed)
+            tried_ok += 1
         except Exception as e:  # OOM at this batch -> halve
             msg = str(e)
             if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:

@@ -163,3 +163,15 @@ def test_healthy_two_condition_variant_param_counts():
         jax.random.PRNGKey(0), x, x, x, time_cond=t, z=z, pseudo_target=x
     )
     assert _count(v2["params"]) == 20_443_585
+
+
+def test_discriminator_small_forward():
+    from mudiff_tpu.models import DiscriminatorSmall
+
+    x = jnp.zeros((4, 32, 32, 3))
+    t = jnp.zeros((4,), jnp.int32)
+    model = DiscriminatorSmall(ngf=8, t_emb_dim=16)
+    v = model.init(jax.random.PRNGKey(0), x, t, x)
+    out = model.apply(v, x, t, x)
+    assert out.shape == (4, 1)
+    assert np.isfinite(np.asarray(out)).all()
