@@ -120,6 +120,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     if mode in ("test", "test_volume"):
         p.add_argument("--ckpt_dir", type=str, default=None)
         p.add_argument("--test_batch_size", type=int, default=8)
+        # reference test flags with no TPU meaning; accepted and ignored
+        p.add_argument("--gpu_chose", type=int, default=0)
+        p.add_argument("--compute_fid", action="store_true", default=False)
     if mode == "test_volume":
         p.add_argument("--input_t1", type=str, default=None)
         p.add_argument("--input_t2", type=str, default=None)

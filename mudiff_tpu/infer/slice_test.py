@@ -1,5 +1,8 @@
 """Slice-level test harness over a preprocessed test split.
 
+Inference is data-parallel over all visible devices: batches are sharded
+over a 1-D mesh, so the same harness drives one chip or a pod slice.
+
 Parity source: engine/test.py — checkpoint load with fallback dir
 (:202-232), test-split loader (:291-300), 4-step sampling (:180-199),
 per-slice jpg grids, then **global** min/max scaling across all slices
@@ -82,11 +85,13 @@ def sample_and_test(
     save_grids: bool = False,
     seed: int = 42,
     generators=None,
+    use_mesh: bool = True,
 ) -> Dict[str, str]:
     """Run the full test split; write pred/ and gt/ PNG dirs.
 
     ``generators`` may supply pre-loaded (g1, g2, pg1, pg2) to skip
-    checkpoint loading (used by tests and the demo path).
+    checkpoint loading (used by tests and the demo path).  With
+    ``use_mesh`` (default) batches are sharded across all devices.
     """
     exp_dir = ckpt_dir or os.path.join(
         config.output_path, config.exp, config.target_modality
@@ -97,6 +102,17 @@ def sample_and_test(
     gt_dir = os.path.join(output_dir, "gt")
     os.makedirs(pred_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
+
+    mesh = None
+    shard = None
+    if use_mesh and len(jax.devices()) > 1:
+        from mudiff_tpu.parallel import batch_sharding, make_mesh
+
+        mesh = make_mesh(dp=-1, fsdp=1)
+        n_dev = mesh.shape["data"]
+        # round the batch up to a multiple of the device count
+        batch_size = -(-batch_size // n_dev) * n_dev
+        shard = batch_sharding(mesh)
 
     orders = ISLES_ORDERS if config.dataset == "isles" else BRATS_ORDERS
     ds = SliceDataset(
@@ -125,9 +141,12 @@ def sample_and_test(
             c1, c2, c3, target = map(padder, (c1, c2, c3, target))
         key, k_init, k_s = jax.random.split(key, 3)
         x_init = jax.random.normal(k_init, target.shape, jnp.float32)
+        dev_in = [jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(c3), x_init]
+        if shard is not None:
+            dev_in = [jax.device_put(a, shard) for a in dev_in]
         fake = np.asarray(
-            sample_fn(pg1, pg2, jnp.asarray(c1), jnp.asarray(c2),
-                      jnp.asarray(c3), x_init, k_s)
+            sample_fn(pg1, pg2, dev_in[0], dev_in[1], dev_in[2],
+                      dev_in[3], k_s)
         )
         if pad:
             fake, target = fake[:-pad], target[:-pad]

@@ -205,3 +205,19 @@ def test_cli_flag_names_match_reference():
     assert cfg.lazy_reg == 16
     assert cfg.lambda_adv == 1.0
     assert cfg.target_modality == "T1CE"
+
+
+def test_slice_test_multidevice_mesh(trained):
+    """Inference shards batches over all 8 virtual devices."""
+    import jax
+
+    from mudiff_tpu.infer import sample_and_test
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg, artifacts = trained
+    out = sample_and_test(
+        cfg, ckpt_dir=artifacts["exp_dir"], batch_size=8, use_mesh=True,
+        output_dir=os.path.join(artifacts["exp_dir"], "mesh_samples"),
+    )
+    assert out["n_slices"] == 8
