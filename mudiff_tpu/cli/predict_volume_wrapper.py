@@ -24,7 +24,9 @@ from typing import Dict, Optional
 _PATTERNS = {
     "T1CE": [r"t1ce", r"t1c(?![a-z])", r"t1gd", r"t1n?[-_]?contrast"],
     "T1": [r"t1n(?![a-z])", r"t1(?![cg0-9])", r"t1w"],
-    "T2": [r"t2w", r"t2(?![a-z0-9])", r"t2f?(?!lair)"],
+    # note: t2f / t2flair are FLAIR acquisitions (BraTS-2023 naming),
+    # never plain T2
+    "T2": [r"t2w", r"t2(?![a-z0-9])"],
     "FLAIR": [r"flair", r"t2f(?![a-z])"],
     "DWI": [r"dwi", r"diff"],
 }

@@ -30,6 +30,19 @@ from mudiff_tpu.data.datasets import SliceDataset
 Batch = Tuple[jax.Array, jax.Array, jax.Array, jax.Array]
 
 
+def _put_or_stop(q: "queue.Queue", item, stop: threading.Event) -> bool:
+    """put() that gives up when the consumer abandoned the iterator —
+    otherwise a full queue would block the producer thread forever and
+    leak it (plus its device-resident batches)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class DeviceLoader:
     def __init__(
         self,
@@ -63,8 +76,13 @@ class DeviceLoader:
             jax.process_count() if process_count is None else process_count
         )
 
+    def _shard_len(self) -> int:
+        # all hosts use the same (floor) shard length so every process
+        # runs the same number of jitted steps (SPMD lockstep)
+        return len(self.dataset) // self.process_count
+
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -76,8 +94,9 @@ class DeviceLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        # per-host strided shard (DistributedSampler semantics)
-        return idx[self.process_index::self.process_count]
+        # per-host strided shard (DistributedSampler semantics), truncated
+        # to the common floor length so all hosts stay in lockstep
+        return idx[self.process_index::self.process_count][: self._shard_len()]
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Iterate device-resident batches for one epoch."""
@@ -107,8 +126,9 @@ class DeviceLoader:
                         )
                     else:
                         dev = tuple(jax.device_put(x) for x in host)
-                    q.put(dev)
-                q.put(None)
+                    if not _put_or_stop(q, dev, stop):
+                        return
+                _put_or_stop(q, None, stop)
             except Exception as e:  # surface loader errors to the consumer
                 q.put(e)
 

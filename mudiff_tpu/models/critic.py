@@ -89,8 +89,14 @@ def _minibatch_stddev(out: jnp.ndarray, stddev_group: int = 4) -> jnp.ndarray:
     """
     b, h, w, c = out.shape
     group = min(b, stddev_group)
+    # torch's view(group, -1, ...) requires b % group == 0 and would
+    # crash otherwise; under SPMD the critic sees the GLOBAL batch, so
+    # fall back to the largest divisor of b (identical results whenever
+    # the reference's own constraint holds).
+    while b % group:
+        group -= 1
     m = b // group
-    x5 = out[: group * m].reshape(group, m, h, w, c).astype(jnp.float32)
+    x5 = out.reshape(group, m, h, w, c).astype(jnp.float32)
     var = jnp.var(x5, axis=0)  # (m, h, w, c), biased
     stddev = jnp.sqrt(var + 1e-8)
     s = jnp.mean(stddev, axis=(1, 2, 3))  # (m,)

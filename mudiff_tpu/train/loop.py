@@ -48,6 +48,13 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
     os.makedirs(exp_dir, exist_ok=True)
 
     # ---- data ----------------------------------------------------------
+    # slice datasets always yield 1-channel images; force num_channels
+    # like the reference does before model construction
+    # (engine/train.py:465 sets args.num_channels = 1)
+    if config.num_channels != 1:
+        log(f"[config] overriding num_channels={config.num_channels} -> 1 "
+            "(slice data is single-channel; reference engine/train.py:465)")
+        config = config.replace(num_channels=1)
     orders = ISLES_ORDERS if config.dataset == "isles" else BRATS_ORDERS
     ds_train = SliceDataset(
         "train", config.input_path, config.target_modality, orders=orders
@@ -188,6 +195,15 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                     state, g_aux = g_step(state, batch, kg)
                 global_step += 1
                 ep_count += 1
+
+                if _stop_requested["flag"]:
+                    ckpt.save_content(exp_dir, state, epoch, global_step)
+                    log(f"[signal] content checkpoint saved at epoch "
+                        f"{epoch}, step {global_step}; exiting")
+                    for sig, h in old_handlers.items():
+                        signal.signal(sig, h)
+                    return {"exp_dir": exp_dir, "history": history_path,
+                            "preempted": True}
 
                 if config.log_every and (it + 1) % config.log_every == 0:
                     metrics = {

@@ -78,10 +78,12 @@ def make_d_step(
     ``donate=True`` donates the input state's buffers (halves peak HBM in
     the training loop) but invalidates the caller's old state."""
 
+    train_dropout = config.dropout > 0  # static at build time
+
     def d_loss_fn(params_d, state, batch, key, with_r1):
         c1, c2, c3, real = batch
         b = real.shape[0]
-        k_t, k_pair, k_z, k_p1, k_p2 = jax.random.split(key, 5)
+        k_t, k_pair, k_z, k_p1, k_p2, k_do1, k_do2 = jax.random.split(key, 7)
         t = jax.random.randint(k_t, (b,), 0, config.num_timesteps)
         x_t, x_tp1 = q_sample_pairs(coeff, real, t, k_pair)
 
@@ -109,12 +111,22 @@ def make_d_step(
             grad_penalty = jnp.zeros((), jnp.float32)
 
         z = jax.random.normal(k_z, (b, config.nz), jnp.float32)
+        # the reference keeps modules in train() mode for the D-step
+        # generator forwards too, so dropout (if configured) is active
+        g1_kw = (
+            dict(train=True, rngs={"dropout": k_do1}) if train_dropout
+            else {}
+        )
+        g2_kw = (
+            dict(train=True, rngs={"dropout": k_do2}) if train_dropout
+            else {}
+        )
         x0_g1 = g1_apply(
-            {"params": state.params_g1}, x_tp1, c1, c2, c3, t, z
+            {"params": state.params_g1}, x_tp1, c1, c2, c3, t, z, **g1_kw
         )
         x0_g2 = g2_apply(
             {"params": state.params_g2}, x_tp1, c1, c2, c3, t, z,
-            pseudo_target=x0_g1,
+            pseudo_target=x0_g1, **g2_kw,
         )
         x0_g1 = jax.lax.stop_gradient(x0_g1)
         x0_g2 = jax.lax.stop_gradient(x0_g2)
@@ -161,27 +173,52 @@ def make_g_step(
         (lambda f: jax.checkpoint(f)) if config.use_grad_checkpoint
         else (lambda f: f)
     )
-    g1_fwd = maybe_remat(
-        lambda p, *a, **kw: g1_apply({"params": p}, *a, **kw)
-    )
-    g2_fwd = maybe_remat(
-        lambda p, *a, **kw: g2_apply({"params": p}, *a, **kw)
-    )
+    train_dropout = config.dropout > 0  # static at build time
+    if train_dropout:
+        # train=True is baked into the closure (it must stay static
+        # through jax.checkpoint); the dropout key is a traced arg.
+        g1_fwd = maybe_remat(
+            lambda p, x, a, b_, c, t, z, kdo: g1_apply(
+                {"params": p}, x, a, b_, c, t, z,
+                train=True, rngs={"dropout": kdo},
+            )
+        )
+        g2_fwd = maybe_remat(
+            lambda p, x, a, b_, c, t, z, ps, kdo: g2_apply(
+                {"params": p}, x, a, b_, c, t, z, pseudo_target=ps,
+                train=True, rngs={"dropout": kdo},
+            )
+        )
+    else:
+        g1_fwd = maybe_remat(
+            lambda p, x, a, b_, c, t, z: g1_apply(
+                {"params": p}, x, a, b_, c, t, z
+            )
+        )
+        g2_fwd = maybe_remat(
+            lambda p, x, a, b_, c, t, z, ps: g2_apply(
+                {"params": p}, x, a, b_, c, t, z, pseudo_target=ps
+            )
+        )
 
     def g_loss_fn(params_g, state, batch, key):
         params_g1, params_g2 = params_g
         c1, c2, c3, real = batch
         b = real.shape[0]
-        k_t, k_pair, k_z, k_p1, k_p2 = jax.random.split(key, 5)
+        k_t, k_pair, k_z, k_p1, k_p2, k_do1, k_do2 = jax.random.split(key, 7)
         t = jax.random.randint(k_t, (b,), 0, config.num_timesteps)
         _, x_tp1 = q_sample_pairs(coeff, real, t, k_pair)
         x_tp1 = jax.lax.stop_gradient(x_tp1)
         z = jax.random.normal(k_z, (b, config.nz), jnp.float32)
 
-        x0_g1 = g1_fwd(params_g1, x_tp1, c1, c2, c3, t, z)
-        x0_g2 = g2_fwd(
-            params_g2, x_tp1, c1, c2, c3, t, z, pseudo_target=x0_g1
-        )
+        if train_dropout:
+            x0_g1 = g1_fwd(params_g1, x_tp1, c1, c2, c3, t, z, k_do1)
+            x0_g2 = g2_fwd(
+                params_g2, x_tp1, c1, c2, c3, t, z, x0_g1, k_do2
+            )
+        else:
+            x0_g1 = g1_fwd(params_g1, x_tp1, c1, c2, c3, t, z)
+            x0_g2 = g2_fwd(params_g2, x_tp1, c1, c2, c3, t, z, x0_g1)
         pos_g1 = sample_posterior(pos_coeff, x0_g1, x_tp1, t, k_p1)
         pos_g2 = sample_posterior(pos_coeff, x0_g2, x_tp1, t, k_p2)
 

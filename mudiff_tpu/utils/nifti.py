@@ -103,7 +103,12 @@ def load(path: str) -> Nifti1Image:
     if struct.unpack_from(bo + "i", raw, 0)[0] != HDR_SIZE:
         raise ValueError(f"{path}: not a NIfTI-1 file")
     magic = raw[344:348]
-    if not (magic.startswith(b"n+1") or magic.startswith(b"ni1")):
+    if magic.startswith(b"ni1"):
+        raise ValueError(
+            f"{path}: detached .hdr/.img NIfTI pairs are not supported; "
+            "convert to single-file .nii/.nii.gz"
+        )
+    if not magic.startswith(b"n+1"):
         raise ValueError(f"{path}: bad magic {magic!r}")
     dim = struct.unpack_from(bo + "8h", raw, 40)
     ndim = dim[0]

@@ -142,3 +142,72 @@ def test_psnr_ssim_mae():
     # PSNR definition check: 10*log10(1/mse)
     mse = np.mean((img.astype(np.float64) - noisy) ** 2)
     assert p == pytest.approx(10 * np.log10(1.0 / mse), rel=1e-6)
+
+
+def test_loader_shards_stay_in_lockstep(npy_root):
+    """All hosts must see the same number of batches even when the
+    dataset size is not divisible by the process count (review finding:
+    differing shard sizes would desync the SPMD program)."""
+    from mudiff_tpu.data import SliceDataset
+
+    ds = SliceDataset("train", npy_root, "T1CE")  # 20 slices
+    # 3 processes: 20/3 -> floor 6 per shard
+    lens = []
+    for pi in range(3):
+        l = DeviceLoader(ds, batch_size=2, shuffle=False,
+                         process_index=pi, process_count=3)
+        idx = l._epoch_indices(0)
+        lens.append(len(idx))
+        assert len(l) == 3  # 6 // 2
+    assert len(set(lens)) == 1
+
+
+def test_loader_abandoned_iterator_does_not_leak(npy_root):
+    """Dropping an epoch iterator mid-way must unblock the producer
+    thread (review finding: q.put could block forever)."""
+    import threading
+    import time
+
+    from mudiff_tpu.data import SliceDataset
+
+    before = threading.active_count()
+    ds = SliceDataset("train", npy_root, "T1CE")
+    loader = DeviceLoader(ds, batch_size=2, process_index=0, process_count=1)
+    it = loader.epoch(0)
+    next(it)  # start producer, take one batch
+    it.close()  # abandon
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_nifti_rejects_detached_pair(tmp_path):
+    import struct
+
+    vol = np.zeros((2, 2, 2), np.float32)
+    p = str(tmp_path / "v.nii")
+    nifti.save(vol, np.eye(4), p)
+    raw = bytearray(open(p, "rb").read())
+    raw[344:348] = b"ni1\x00"
+    open(p, "wb").write(raw)
+    with pytest.raises(ValueError, match="detached"):
+        nifti.load(p)
+
+
+def test_wrapper_modality_patterns():
+    """BraTS-2023 naming: -t2f is FLAIR, -t2w is T2 (review finding:
+    backtracking regex mis-assigned t2f to T2)."""
+    from mudiff_tpu.cli.predict_volume_wrapper import find_modality_files
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        for n in ("sub-t1n.nii.gz", "sub-t1c.nii.gz", "sub-t2w.nii.gz",
+                  "sub-t2f.nii.gz"):
+            open(os.path.join(d, n), "w").close()
+        found = find_modality_files(d)
+        assert found["FLAIR"].endswith("t2f.nii.gz")
+        assert found["T2"].endswith("t2w.nii.gz")
+        assert found["T1CE"].endswith("t1c.nii.gz")
+        assert found["T1"].endswith("t1n.nii.gz")

@@ -119,3 +119,41 @@ def test_ema_tracks_params():
     )
     ema1, ema2 = state2.generator_params(use_ema_weights=True)
     assert ema1 is state2.ema_g1
+
+
+def test_critic_handles_non_multiple_batch():
+    """Global batches not divisible by the stddev group (e.g. 6 on a
+    3-device mesh) must not crash minibatch-stddev."""
+    from mudiff_tpu.models import DiscriminatorLarge
+
+    x = jnp.zeros((6, 64, 64, 1))
+    t = jnp.zeros((6,), jnp.int32)
+    model = DiscriminatorLarge(ngf=8, t_emb_dim=16)
+    v = model.init(jax.random.PRNGKey(0), x, t, x)
+    logit, mid = model.apply(v, x, t, x)
+    assert logit.shape == (6,)
+    # batch 5 -> largest divisor group is 1 (stddev = 0 feature)
+    x5 = jnp.zeros((5, 64, 64, 1))
+    t5 = jnp.zeros((5,), jnp.int32)
+    logit5, _ = model.apply(v, x5, t5, x5)
+    assert logit5.shape == (5,)
+
+
+def test_dropout_active_in_training():
+    """config.dropout > 0 must actually randomize the G forwards inside
+    the train step (review finding: it was silently ignored)."""
+    cfg = TINY.replace(dropout=0.3)
+    state, g1, g2, d = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    step = make_train_step(cfg, g1.apply, g2.apply, d.apply)
+    state2, m1 = step(state, _batch(), jax.random.PRNGKey(1), with_r1=False)
+    assert np.isfinite(float(m1["G_total"]))
+    # grad checkpointing composes with dropout rngs
+    cfg2 = TINY.replace(dropout=0.3, use_grad_checkpoint=True)
+    state3, g1b, g2b, db = create_train_state(
+        cfg2, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    step2 = make_train_step(cfg2, g1b.apply, g2b.apply, db.apply)
+    _, m2 = step2(state3, _batch(), jax.random.PRNGKey(1), with_r1=False)
+    assert np.isfinite(float(m2["G_total"]))
