@@ -47,6 +47,28 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
     )
     os.makedirs(exp_dir, exist_ok=True)
 
+    # Provenance (reference copies train.py + backbones/ into the exp dir,
+    # engine/train.py:624-639; a typed config + git commit is the
+    # equivalent record here).
+    try:
+        import json as _json
+        import subprocess as _sp
+
+        prov = {"config": config.to_dict()}
+        try:
+            prov["git_commit"] = _sp.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, timeout=5,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+            ).stdout.strip()
+        except Exception:
+            pass
+        with open(os.path.join(exp_dir, "train_config.json"), "w") as f:
+            _json.dump(prov, f, indent=2, default=str)
+    except Exception:
+        pass
+
     # ---- data ----------------------------------------------------------
     # slice datasets always yield 1-channel images; force num_channels
     # like the reference does before model construction
