@@ -31,13 +31,17 @@ Both carry a jax.custom_vjp with the XLA composition as backward
 1/4 the upsample gain, and vice versa), so they work inside training.
 
 STATUS: numerically exact (fwd+bwd) under the Pallas interpreter at all
-model shapes (tests/test_pallas_fir.py).  The Mosaic-compiled path
-currently faults the TPU worker in this axon remote-execution
-environment (suspected DMA-from-HBM lowering issue with
-``ref.at[b, pl.ds(...)]`` sources); it stays opt-in
-(MUDIFF_PALLAS_FIR=1) and the XLA lowering — which measures
-0.02-0.04 ms at model shapes, see PERFORMANCE.md — remains the default
-and authoritative implementation.
+model shapes (tests/test_pallas_fir.py).  The Mosaic-compiled path is
+blocked on this jax/libtpu version: layout inference rejects the
+phase-interleave reshapes ("infer-vector-layout: unsupported shape
+cast", e.g. vector<128x64x64xbf16> -> vector<128x64x1x64xbf16> from the
+jnp.stack interleave; the earlier DMA-halo variant additionally faulted
+the TPU worker at runtime).  A compiled rewrite needs the interleave
+expressed without sublane-splitting reshapes (per-phase grid steps or
+pltpu.roll arithmetic) — tracked for a future round.  The kernels stay
+opt-in (MUDIFF_PALLAS_FIR=1); the XLA lowering — 0.02-0.04 ms at model
+shapes, see PERFORMANCE.md — remains the default and authoritative
+implementation.
 """
 
 from __future__ import annotations
@@ -89,6 +93,31 @@ def _pick_h_tile(h_out: int, row_bytes: int, rows_per_out: int) -> int:
     return h_tile
 
 
+def _down2_kernel_whole(x_ref, o_ref, *, taps):
+    """Whole-image variant: x_ref (1, 2*ho+2, W+2, C) blocked per batch
+    element (non-overlapping blocks — no manual DMA, which faults the
+    TPU worker in this environment)."""
+    t0, t1, t2, t3 = taps
+    x = x_ref[0]
+    rows, cols, c = x.shape
+    h = o_ref.shape[1]
+    w = o_ref.shape[2]
+    xr = x.reshape(rows // 2, 2, cols, c)
+    e, o = xr[:, 0], xr[:, 1]
+    v = t0 * e[0:h] + t1 * o[0:h] + t2 * e[1:h + 1] + t3 * o[1:h + 1]
+    vr = v.reshape(h, cols // 2, 2, c)
+    ve, vo = vr[:, :, 0], vr[:, :, 1]
+    o_ref[0] = (
+        t0 * ve[:, 0:w] + t1 * vo[:, 0:w]
+        + t2 * ve[:, 1:w + 1] + t3 * vo[:, 1:w + 1]
+    )
+
+
+def _fits_whole_image(in_bytes: int, out_bytes: int) -> bool:
+    # keep the padded image + output + temporaries within ~12 MiB VMEM
+    return (2 * in_bytes + out_bytes) < 12 * 2 ** 20
+
+
 def _down2_kernel(x_hbm, o_ref, scratch, sem, *, taps, h_tile):
     """x_hbm: (N, 2*ho + 2, W + 2, C) padded, unblocked.
     o_ref: (1, h_tile, W//2, C).  scratch: (2*h_tile + 2, W + 2, C)."""
@@ -124,6 +153,28 @@ def _down2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
     assert h % 2 == 0 and w % 2 == 0, "down2 needs even spatial dims"
     ho, wo = h // 2, w // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    in_bytes = (h + 2) * (w + 2) * c * x.dtype.itemsize
+    out_bytes = ho * wo * c * x.dtype.itemsize
+    if _fits_whole_image(in_bytes, out_bytes) or _interpret_mode():
+        kern = functools.partial(
+            _down2_kernel_whole, taps=tuple(float(t) for t in k1)
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h + 2, w + 2, c), lambda b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ho, wo, c), lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=_interpret_mode(),
+        )(xp)
     row_bytes = (w + 2) * c * x.dtype.itemsize
     h_tile = _pick_h_tile(ho, row_bytes, rows_per_out=2)
     kern = functools.partial(
@@ -145,6 +196,27 @@ def _down2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
         ],
         interpret=_interpret_mode(),
     )(xp)
+
+
+def _up2_kernel_whole(x_ref, o_ref, *, taps):
+    t0, t1, t2, t3 = taps
+    x = x_ref[0]
+    h = o_ref.shape[1] // 2
+    w = o_ref.shape[2] // 2
+    cols = x.shape[1]
+    c = x.shape[2]
+    xm = x[0:h]
+    xc = x[1:h + 1]
+    xq = x[2:h + 2]
+    even = t0 * xm + t2 * xc
+    odd = t1 * xc + t3 * xq
+    v = jnp.stack([even, odd], axis=1).reshape(2 * h, cols, c)
+    vm = v[:, 0:w]
+    vc = v[:, 1:w + 1]
+    vq = v[:, 2:w + 2]
+    ev = t0 * vm + t2 * vc
+    od = t1 * vc + t3 * vq
+    o_ref[0] = jnp.stack([ev, od], axis=2).reshape(2 * h, 2 * w, c)
 
 
 def _up2_kernel(x_hbm, o_ref, scratch, sem, *, taps, h_tile):
@@ -180,6 +252,28 @@ def _up2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
     n, h, w, c = x.shape
     k1 = np.asarray(k1, np.float32) * 2.0  # gain 4 total = 2 per axis
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    in_bytes = (h + 2) * (w + 2) * c * x.dtype.itemsize
+    out_bytes = 4 * h * w * c * x.dtype.itemsize
+    if _fits_whole_image(in_bytes + out_bytes, out_bytes) or _interpret_mode():
+        kern = functools.partial(
+            _up2_kernel_whole, taps=tuple(float(t) for t in k1)
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w, c), x.dtype),
+            grid=(n,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h + 2, w + 2, c), lambda b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2 * h, 2 * w, c), lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=_interpret_mode(),
+        )(xp)
     row_bytes = (w + 2) * c * x.dtype.itemsize
     h_tile = _pick_h_tile(h, row_bytes, rows_per_out=6)
     kern = functools.partial(
