@@ -35,10 +35,13 @@ model shapes (tests/test_pallas_fir.py).  The Mosaic-compiled path is
 blocked on this jax/libtpu version: layout inference rejects the
 phase-interleave reshapes ("infer-vector-layout: unsupported shape
 cast", e.g. vector<128x64x64xbf16> -> vector<128x64x1x64xbf16> from the
-jnp.stack interleave; the earlier DMA-halo variant additionally faulted
-the TPU worker at runtime).  A compiled rewrite needs the interleave
-expressed without sublane-splitting reshapes (per-phase grid steps or
-pltpu.roll arithmetic) — tracked for a future round.  The kernels stay
+jnp.stack interleave; additionally "Slice shape along dimension 2 must
+be aligned to tiling (8), but is 258" for the W+2 halo block, and the
+earlier DMA-halo variant faulted the TPU worker at runtime).  A
+compiled rewrite needs (a) tile-aligned halo blocks (pad W+2 up to a
+multiple of 8) and (b) the phase interleave expressed without
+sublane-splitting reshapes (per-phase grid steps or pltpu.roll
+arithmetic) — tracked for a future round.  The kernels stay
 opt-in (MUDIFF_PALLAS_FIR=1); the XLA lowering — 0.02-0.04 ms at model
 shapes, see PERFORMANCE.md — remains the default and authoritative
 implementation.
