@@ -10,85 +10,115 @@ logs is training at ~12 slices/s global on 2 GPUs => 6.0 slices/s per
 GPU (BASELINE.md, error_logs/log_mudiff_t2.13966160.out; the reference
 pipeline was host-data-bound).  The reference's inference path runs the
 same 8 forwards per slice at batch_size=1 (engine/test.py:294), so its
-sampling throughput is bounded by the same order; we use 6.0 slices/s as
-the single-accelerator denominator.
+sampling throughput is bounded by the same order; we use 6.0 slices/s
+as the single-accelerator denominator.  NOTE the honest footnote: that
+denominator is a *training* rate on a data-bound host — the reference
+shipped no clean inference throughput (PERFORMANCE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Flags:
+  --dp N   sample over an N-device data-parallel mesh (default: all
+           visible devices; 1 chip today).  The batch is sharded over
+           the mesh, so the same code path produces the multi-chip
+           number the day a pod slice exists.  `value` stays per-chip.
+  --nf N   generator width (default 64 = the logged recipe; 128 = the
+           canonical YAML recipe, experiments/cfg/local.yaml:27).
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "devices", "nf"}.
 """
 
+import argparse
 import functools
 import json
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def main() -> None:
-    from mudiff_tpu.config import brats_recipe
+def build_sampler(cfg, mesh=None):
+    """Return (sampler_fn, params_g1, params_g2, shard) for the recipe."""
     from mudiff_tpu.diffusion import PosteriorCoefficients, sample_from_model
     from mudiff_tpu.models import NCSNppGenerator
 
-    cfg = brats_recipe(num_channels_dae=64, image_size=256, use_bf16=True)
-    dtype = jnp.bfloat16
+    dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
     g1 = NCSNppGenerator(config=cfg, dtype=dtype)
     g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=dtype)
     post = PosteriorCoefficients.from_config(cfg)
 
-    rng = jax.random.PRNGKey(0)
     s = cfg.image_size
     x1 = jnp.zeros((1, s, s, 1), jnp.float32)
     t1 = jnp.zeros((1,), jnp.int32)
     z1 = jnp.zeros((1, cfg.nz), jnp.float32)
-    k1, k2 = jax.random.split(rng)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params_g1 = g1.init(k1, x1, x1, x1, x1, t1, z1)["params"]
     params_g2 = g2.init(k2, x1, x1, x1, x1, t1, z1, pseudo_target=x1)["params"]
 
-    def make_sampler(batch):
-        @functools.partial(jax.jit, donate_argnums=(5,))
-        def sampler(pg1, pg2, c1, c2, c3, x_init, key):
-            g1_fn = lambda x, a, b, c, t, z: g1.apply(
-                {"params": pg1}, x, a, b, c, t, z
-            )
-            g2_fn = lambda x, a, b, c, t, z, pseudo: g2.apply(
-                {"params": pg2}, x, a, b, c, t, z, pseudo_target=pseudo
-            )
-            return sample_from_model(
-                post, g1_fn, g2_fn, c1, c2, c3, x_init,
-                cfg.num_timesteps, cfg.nz, key, compute_dtype=dtype,
-            )
-        return sampler
+    shard = None
+    if mesh is not None:
+        from mudiff_tpu.parallel import batch_sharding, replicate
 
-    # measure candidate batch sizes that fit; keep the best throughput
-    # (biggest is not always fastest on this chip)
+        rep = replicate(mesh)
+        params_g1 = jax.device_put(params_g1, rep)
+        params_g2 = jax.device_put(params_g2, rep)
+        shard = batch_sharding(mesh)
+
+    @functools.partial(jax.jit, donate_argnums=(5,))
+    def sampler(pg1, pg2, c1, c2, c3, x_init, key):
+        g1_fn = lambda x, a, b, c, t, z: g1.apply(
+            {"params": pg1}, x, a, b, c, t, z
+        )
+        g2_fn = lambda x, a, b, c, t, z, pseudo: g2.apply(
+            {"params": pg2}, x, a, b, c, t, z, pseudo_target=pseudo
+        )
+        return sample_from_model(
+            post, g1_fn, g2_fn, c1, c2, c3, x_init,
+            cfg.num_timesteps, cfg.nz, key,
+            compute_dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
+        )
+
+    return sampler, params_g1, params_g2, shard
+
+
+def measure_throughput(cfg, mesh=None, batches=(64, 32, 16, 8, 4, 2, 1),
+                       max_ok=2):
+    """Best sampling throughput (slices/sec, GLOBAL) over batch sizes."""
+    n_dev = 1 if mesh is None else mesh.devices.size
+    sampler, pg1, pg2, shard = build_sampler(cfg, mesh)
+    s = cfg.image_size
     value = None
     tried_ok = 0
-    for batch in (64, 32, 16, 8, 4, 2, 1):
-        if tried_ok >= 2:
+    for batch in batches:
+        if tried_ok >= max_ok:
             break
+        batch = -(-batch // n_dev) * n_dev  # multiple of the mesh size
         try:
-            sampler = make_sampler(batch)
             c = jnp.zeros((batch, s, s, 1), jnp.float32)
             x_init = jax.random.normal(
                 jax.random.PRNGKey(1), (batch, s, s, 1), jnp.float32
             )
-            out = sampler(params_g1, params_g2, c, c, c, x_init,
-                          jax.random.PRNGKey(2))
+            if shard is not None:
+                c = jax.device_put(c, shard)
+                x_init = jax.device_put(x_init, shard)
+            out = sampler(pg1, pg2, c, c, c, x_init, jax.random.PRNGKey(2))
             out.block_until_ready()  # compile + warmup
             iters = 5 if batch >= 8 else 10
-            inits = [
-                jax.random.normal(
+            # vary the init per iteration: repeated-identical remote
+            # executions may be deduped
+            inits = []
+            for i in range(iters):
+                xi = jax.random.normal(
                     jax.random.PRNGKey(100 + i), (batch, s, s, 1),
                     jnp.float32,
                 )
-                for i in range(iters)
-            ]
+                if shard is not None:
+                    xi = jax.device_put(xi, shard)
+                inits.append(xi)
             for xi in inits:
                 xi.block_until_ready()
             start = time.perf_counter()
             for i in range(iters):
-                out = sampler(params_g1, params_g2, c, c, c, inits[i],
+                out = sampler(pg1, pg2, c, c, c, inits[i],
                               jax.random.PRNGKey(3 + i))
             out.block_until_ready()
             elapsed = time.perf_counter() - start
@@ -96,18 +126,43 @@ def main() -> None:
             tried_ok += 1
         except Exception as e:  # OOM at this batch -> halve
             msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
+            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                    or "exceeds" in msg):
                 continue
             raise
     if value is None:
         raise RuntimeError("no batch size fit in memory")
+    return value
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp", type=int, default=-1,
+                    help="data-parallel devices (-1 = all visible)")
+    ap.add_argument("--nf", type=int, default=64,
+                    help="generator width (64 logged / 128 canonical)")
+    args = ap.parse_args()
+
+    from mudiff_tpu.config import brats_recipe
+    from mudiff_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices()) if args.dp <= 0 else args.dp
+    mesh = make_mesh(dp=n_dev, fsdp=1) if n_dev > 1 else None
+
+    cfg = brats_recipe(
+        num_channels_dae=args.nf, image_size=256, use_bf16=True
+    )
+    value = measure_throughput(cfg, mesh)
 
     baseline_slices_per_sec = 6.0  # measured reference per-GPU throughput
+    per_chip = value / n_dev
     print(json.dumps({
         "metric": "brats_256_t1ce_4step_sampling_throughput",
-        "value": round(value, 3),
+        "value": round(per_chip, 3),
         "unit": "slices/sec/chip",
-        "vs_baseline": round(value / baseline_slices_per_sec, 3),
+        "vs_baseline": round(per_chip / baseline_slices_per_sec, 3),
+        "devices": n_dev,
+        "nf": args.nf,
     }))
 
 
