@@ -160,21 +160,29 @@ def sample_and_test(
 
     pred = np.concatenate(all_pred, axis=0)[..., 0]
     gt = np.concatenate(all_gt, axis=0)[..., 0]
+    export_png_pairs(pred, gt, pred_dir, gt_dir)
+    return {"pred_dir": pred_dir, "gt_dir": gt_dir, "n_slices": pred.shape[0]}
 
-    # global min/max scaling across ALL slices (reference test.py:370-391)
+
+def export_png_pairs(
+    pred: np.ndarray, gt: np.ndarray, pred_dir: str, gt_dir: str
+) -> None:
+    """Write pred_%05d.png / gt_%05d.png uint8 pairs scaled with ONE
+    shared global min/max range over pred AND gt (reference
+    test.py:370-391 stacks both sets before scaling) — independent
+    per-set ranges would silently normalize away global intensity
+    errors in the predictions and bias metric_calc optimistic."""
     from PIL import Image
 
-    pmin, pmax = float(pred.min()), float(pred.max())
-    gmin, gmax = float(gt.min()), float(gt.max())
-    pscale = (pmax - pmin) or 1.0
-    gscale = (gmax - gmin) or 1.0
+    lo = min(float(pred.min()), float(gt.min()))
+    hi = max(float(pred.max()), float(gt.max()))
+    scale = (hi - lo) or 1.0
     for i in range(pred.shape[0]):
-        p8 = ((pred[i] - pmin) / pscale * 255.0).astype(np.uint8)
-        g8 = ((gt[i] - gmin) / gscale * 255.0).astype(np.uint8)
+        p8 = np.clip((pred[i] - lo) / scale * 255.0, 0, 255).astype(np.uint8)
+        g8 = np.clip((gt[i] - lo) / scale * 255.0, 0, 255).astype(np.uint8)
         Image.fromarray(p8, mode="L").save(
             os.path.join(pred_dir, f"pred_{i:05d}.png")
         )
         Image.fromarray(g8, mode="L").save(
             os.path.join(gt_dir, f"gt_{i:05d}.png")
         )
-    return {"pred_dir": pred_dir, "gt_dir": gt_dir, "n_slices": pred.shape[0]}

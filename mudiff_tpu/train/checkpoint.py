@@ -34,6 +34,57 @@ def _to_host(tree: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _norm_path(path) -> Tuple[str, ...]:
+    """Normalize a jax key path to plain strings so template paths
+    (GetAttrKey for NamedTuple fields, SequenceKey for tuples) align
+    with orbax-restored dict paths (DictKey with the field name / the
+    stringified index)."""
+    out = []
+    for k in path:
+        if isinstance(k, jax.tree_util.DictKey):
+            out.append(str(k.key))
+        elif isinstance(k, jax.tree_util.GetAttrKey):
+            out.append(k.name)
+        elif isinstance(k, jax.tree_util.SequenceKey):
+            out.append(str(k.idx))
+        elif isinstance(k, jax.tree_util.FlattenedIndexKey):
+            out.append(str(k.key))
+        else:  # pragma: no cover - future key kinds
+            out.append(str(k))
+    return tuple(out)
+
+
+def _restore_like(template: PyTree, saved: PyTree) -> PyTree:
+    """Rebuild ``template``'s pytree from an orbax-restored ``saved``
+    tree, matching leaves BY KEY PATH, not flattened order.  Order-based
+    unflattening only works while every container's field order happens
+    to match sorted dict-key order; an optax state whose fields sort
+    differently (e.g. a NamedTuple (count, nu, mu)) would silently swap
+    same-shaped leaves and corrupt the resumed run."""
+    if template is None or saved is None:
+        return template
+    s_items, _ = jax.tree_util.tree_flatten_with_path(saved)
+    s_map = {_norm_path(p): v for p, v in s_items}
+    t_items, treedef = jax.tree_util.tree_flatten_with_path(template)
+    assert len(t_items) == len(s_map), (
+        f"checkpoint structure mismatch: {len(s_map)} saved leaves vs "
+        f"{len(t_items)} in template"
+    )
+    leaves = []
+    for p, t in t_items:
+        key = _norm_path(p)
+        if key not in s_map:
+            raise KeyError(
+                f"checkpoint has no leaf at {'/'.join(key)}; "
+                f"example saved paths: "
+                f"{['/'.join(k) for k in sorted(s_map)[:4]]}"
+            )
+        leaves.append(
+            jax.numpy.asarray(s_map[key], dtype=t.dtype).reshape(t.shape)
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def save_content(
     exp_dir: str,
     state: MutualTrainState,
@@ -67,23 +118,7 @@ def restore_content(
     """Restore a content checkpoint into an existing (template) state."""
     path = os.path.join(os.path.abspath(exp_dir), "content")
     restored = _ckptr().restore(path)
-
-    def like(template, saved):
-        if template is None or saved is None:
-            return template
-        t_leaves, treedef = jax.tree_util.tree_flatten(template)
-        s_leaves = jax.tree_util.tree_leaves(saved)
-        assert len(t_leaves) == len(s_leaves), (
-            f"checkpoint structure mismatch: {len(s_leaves)} leaves vs "
-            f"{len(t_leaves)} in template"
-        )
-        return jax.tree_util.tree_unflatten(
-            treedef,
-            [
-                jax.numpy.asarray(s, dtype=t.dtype).reshape(t.shape)
-                for t, s in zip(t_leaves, s_leaves)
-            ],
-        )
+    like = _restore_like
 
     state = state.replace(
         step=jax.numpy.asarray(restored["step"]),
@@ -138,17 +173,7 @@ def load_generator_params(
     for base in filter(None, [ckpt_dir, fallback_dir]):
         path = os.path.join(os.path.abspath(base), name)
         if os.path.isdir(path):
-            restored = _ckptr().restore(path)
-            t_leaves, treedef = jax.tree_util.tree_flatten(template)
-            s_leaves = jax.tree_util.tree_leaves(restored)
-            assert len(t_leaves) == len(s_leaves)
-            return jax.tree_util.tree_unflatten(
-                treedef,
-                [
-                    jax.numpy.asarray(s, dtype=t.dtype).reshape(t.shape)
-                    for t, s in zip(t_leaves, s_leaves)
-                ],
-            )
+            return _restore_like(template, _ckptr().restore(path))
     raise FileNotFoundError(
         f"no checkpoint {name} under {ckpt_dir} or {fallback_dir}"
     )

@@ -194,7 +194,12 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 pass  # non-main thread
 
         history_path = os.path.join(exp_dir, "training_history.json")
-        val_l1 = np.zeros((2, config.num_epoch + 1, max(1, len(loader_val))))
+        # val_{l1,psnr} artifact shape: (num_epoch+1, num_val_batches).
+        # The reference writes per-rank arrays with a leading world_size
+        # axis (engine/train.py validation loop); here validation is one
+        # SPMD program over the whole mesh, so there is exactly one row
+        # per epoch and no rank axis.
+        val_l1 = np.zeros((config.num_epoch + 1, max(1, len(loader_val))))
         val_psnr = np.zeros_like(val_l1)
 
         # ---- epochs ----------------------------------------------------
@@ -267,7 +272,12 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
             real_np = None
             if epoch % 10 == 0 or epoch == config.num_epoch - 1:
                 try:
-                    batch = next(iter(loader_val.epoch(0)))
+                    # close the throwaway iterator explicitly: its producer
+                    # thread would otherwise keep device_put-ing prefetch
+                    # batches into HBM until GC finalizes the generator
+                    preview_it = loader_val.epoch(0)
+                    batch = next(preview_it)
+                    preview_it.close()
                     c1, c2, c3, real = batch
                     rng, k_init, k_s = jax.random.split(rng, 3)
                     x_init = jax.random.normal(
@@ -298,9 +308,9 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 p = psnr_fn(r01, f01, data_range=1.0)
                 vl1.append(l1)
                 vpsnr.append(p)
-                if vb < val_l1.shape[2]:
-                    val_l1[0, epoch, vb] = l1
-                    val_psnr[0, epoch, vb] = p
+                if vb < val_l1.shape[1]:
+                    val_l1[epoch, vb] = l1
+                    val_psnr[epoch, vb] = p
             mean_l1 = float(np.mean(vl1)) if vl1 else float("nan")
             mean_psnr = float(np.mean(vpsnr)) if vpsnr else float("nan")
 

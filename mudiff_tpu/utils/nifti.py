@@ -153,6 +153,19 @@ def save(
     assert path is not None, "save path required"
     data = np.asarray(data, dtype=np.float32)
 
+    if header is not None and struct.unpack_from("<i", header, 0)[0] != HDR_SIZE:
+        # Big-endian source header: patching LE fields into it would
+        # produce a mixed-endian (corrupt) file.  Rebuild a fresh LE
+        # header carrying over only the geometry fields we preserve
+        # (pixdim + xyzt_units); q/s-form are rewritten from the affine
+        # below.
+        pixdim = struct.unpack_from(">8f", header, 76)
+        xyzt_units = header[123:124]
+        fresh = bytearray(HDR_SIZE)
+        struct.pack_into("<8f", fresh, 76, *pixdim)
+        fresh[123:124] = xyzt_units
+        header = bytes(fresh)
+
     hdr = bytearray(header if header is not None else bytes(HDR_SIZE))
     struct.pack_into("<i", hdr, 0, HDR_SIZE)
     dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)

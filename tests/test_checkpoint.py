@@ -107,3 +107,22 @@ def test_loader_propagates_worker_errors(tmp_path):
     )
     with pytest.raises(RuntimeError, match="boom"):
         next(iter(loader.epoch(0)))
+
+
+def test_restore_like_matches_by_key_path(tmp_path):
+    """Leaves must be matched by key path, not flattened order: a
+    container whose field order differs from sorted dict-key order
+    (zeta before alpha) would silently swap same-shaped leaves under
+    order-based unflattening."""
+    import collections
+
+    S = collections.namedtuple("S", ["zeta", "alpha"])
+    template = {"opt": S(zeta=np.zeros((3,), np.float32),
+                         alpha=np.zeros((3,), np.float32))}
+    value = {"opt": S(zeta=np.full((3,), 1.0, np.float32),
+                      alpha=np.full((3,), 2.0, np.float32))}
+    path = tmp_path / "nt"
+    ckpt._ckptr().save(str(path), value, force=True)
+    restored = ckpt._restore_like(template, ckpt._ckptr().restore(str(path)))
+    np.testing.assert_array_equal(np.asarray(restored["opt"].zeta), 1.0)
+    np.testing.assert_array_equal(np.asarray(restored["opt"].alpha), 2.0)

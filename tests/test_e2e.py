@@ -221,3 +221,25 @@ def test_slice_test_multidevice_mesh(trained):
         output_dir=os.path.join(artifacts["exp_dir"], "mesh_samples"),
     )
     assert out["n_slices"] == 8
+
+
+def test_export_png_pairs_shared_range(tmp_path):
+    """pred and gt PNGs must share ONE global min/max range (reference
+    engine/test.py:370-377): a prediction with a global intensity error
+    must NOT be normalized to look identical to the ground truth."""
+    from PIL import Image
+
+    from mudiff_tpu.infer.slice_test import export_png_pairs
+
+    gt = np.linspace(0.0, 1.0, 16, dtype=np.float32).reshape(1, 4, 4)
+    pred = 0.5 * gt  # contrast-compressed prediction
+    pd = tmp_path / "pred"
+    gd = tmp_path / "gt"
+    pd.mkdir()
+    gd.mkdir()
+    export_png_pairs(pred, gt, str(pd), str(gd))
+    p = np.asarray(Image.open(pd / "pred_00000.png"))
+    g = np.asarray(Image.open(gd / "gt_00000.png"))
+    assert g.max() == 255
+    # shared range keeps the 2x contrast gap visible in the uint8 export
+    assert abs(int(p.max()) - 127) <= 1
