@@ -9,11 +9,15 @@ of problem the TPU way:
 * batch assembly is one fancy-index gather + clamp (optionally served by
   the native C++ gather in mudiff_tpu/data/_native when built),
 * a background thread keeps ``prefetch`` batches ahead, already
-  ``device_put`` onto the mesh with the batch sharding, so the TPU never
-  waits on the host,
+  device-resident with the batch sharding, so the TPU never waits on
+  the host,
 * per-host sharding for multi-host: each process sees its
   process_index-strided subset (replaces DistributedSampler,
-  engine/train.py:409-411).
+  engine/train.py:409-411).  ``batch_size`` is always the GLOBAL batch;
+  each host gathers only its ``batch_size / process_count`` local rows
+  and the global array is assembled with
+  ``jax.make_array_from_process_local_data`` — a host never materializes
+  (or transfers) other hosts' rows.
 """
 
 from __future__ import annotations
@@ -75,6 +79,12 @@ class DeviceLoader:
         self.process_count = (
             jax.process_count() if process_count is None else process_count
         )
+        assert batch_size % self.process_count == 0, (
+            f"global batch {batch_size} not divisible by "
+            f"{self.process_count} processes"
+        )
+        # rows THIS host contributes to every global batch
+        self.local_batch_size = batch_size // self.process_count
 
     def _shard_len(self) -> int:
         # all hosts use the same (floor) shard length so every process
@@ -84,8 +94,8 @@ class DeviceLoader:
     def __len__(self) -> int:
         n = self._shard_len()
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return n // self.local_batch_size
+        return -(-n // self.local_batch_size)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -98,11 +108,28 @@ class DeviceLoader:
         # to the common floor length so all hosts stay in lockstep
         return idx[self.process_index::self.process_count][: self._shard_len()]
 
+    def _to_device(self, x: np.ndarray):
+        """Local host rows -> device-resident (global) array."""
+        if self.sharding is None:
+            return jax.device_put(x)
+        if self.process_count == 1:
+            return jax.device_put(x, self.sharding)
+        # Multi-host: x holds only THIS host's batch_size/process_count
+        # rows.  device_put of a host-local array onto a sharding that
+        # spans non-addressable devices is wrong (and each host's array
+        # differs); the correct primitive assembles the global array
+        # from per-process shards.
+        global_shape = (self.batch_size,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(
+            self.sharding, x, global_shape
+        )
+
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
         """Iterate device-resident batches for one epoch."""
         idx = self._epoch_indices(epoch)
-        nb = len(idx) // self.batch_size
-        if not self.drop_last and len(idx) % self.batch_size:
+        lbs = self.local_batch_size
+        nb = len(idx) // lbs
+        if not self.drop_last and len(idx) % lbs:
             nb += 1
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -113,19 +140,13 @@ class DeviceLoader:
                 for b in range(nb):
                     if stop.is_set():
                         return
-                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    if self.pad_last and len(sel) < self.batch_size:
+                    sel = idx[b * lbs:(b + 1) * lbs]
+                    if self.pad_last and len(sel) < lbs:
                         sel = np.concatenate(
-                            [sel,
-                             np.repeat(sel[-1:], self.batch_size - len(sel))]
+                            [sel, np.repeat(sel[-1:], lbs - len(sel))]
                         )
                     host = self.dataset.gather_batch(np.sort(sel))
-                    if self.sharding is not None:
-                        dev = tuple(
-                            jax.device_put(x, self.sharding) for x in host
-                        )
-                    else:
-                        dev = tuple(jax.device_put(x) for x in host)
+                    dev = tuple(self._to_device(x) for x in host)
                     if not _put_or_stop(q, dev, stop):
                         return
                 _put_or_stop(q, None, stop)

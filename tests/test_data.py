@@ -151,14 +151,15 @@ def test_loader_shards_stay_in_lockstep(npy_root):
     from mudiff_tpu.data import SliceDataset
 
     ds = SliceDataset("train", npy_root, "T1CE")  # 20 slices
-    # 3 processes: 20/3 -> floor 6 per shard
+    # 3 processes: 20/3 -> floor 6 per shard; global batch 6 -> 2 local
     lens = []
     for pi in range(3):
-        l = DeviceLoader(ds, batch_size=2, shuffle=False,
+        l = DeviceLoader(ds, batch_size=6, shuffle=False,
                          process_index=pi, process_count=3)
+        assert l.local_batch_size == 2
         idx = l._epoch_indices(0)
         lens.append(len(idx))
-        assert len(l) == 3  # 6 // 2
+        assert len(l) == 3  # 6 shard rows // 2 local rows per batch
     assert len(set(lens)) == 1
 
 
@@ -211,3 +212,77 @@ def test_wrapper_modality_patterns():
         assert found["T2"].endswith("t2w.nii.gz")
         assert found["T1CE"].endswith("t1c.nii.gz")
         assert found["T1"].endswith("t1n.nii.gz")
+
+
+def test_nifti_big_endian_source_header(tmp_path):
+    """Saving with a big-endian source header must produce a pure
+    little-endian output file (geometry carried over), not a
+    mixed-endian header."""
+    import struct
+
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    pixdim = (1.5, 2.5, 3.5)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 2, 3, 4, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 16)  # float32
+    struct.pack_into(">h", hdr, 72, 32)  # bitpix
+    struct.pack_into(">8f", hdr, 76, 0.0, *pixdim, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(">f", hdr, 108, 352.0)
+    hdr[344:348] = b"n+1\x00"
+    p = str(tmp_path / "be.nii")
+    with open(p, "wb") as f:
+        f.write(bytes(hdr) + b"\x00" * 4 + vol.astype(">f4").tobytes(order="F"))
+
+    img = nifti.load(p)
+    np.testing.assert_allclose(img.get_fdata(), vol)
+    p2 = str(tmp_path / "out.nii")
+    nifti.save(img, path=p2)
+    with open(p2, "rb") as f:
+        out_hdr = f.read(348)
+    assert struct.unpack_from("<i", out_hdr, 0)[0] == 348  # LE sizeof_hdr
+    out_pixdim = struct.unpack_from("<8f", out_hdr, 76)[1:4]
+    np.testing.assert_allclose(out_pixdim, pixdim, rtol=1e-6)
+    np.testing.assert_allclose(nifti.load(p2).get_fdata(), vol)
+
+
+def test_device_loader_two_process_assembly():
+    """Real 2-process jax.distributed CPU cluster: DeviceLoader must
+    assemble per-host local shards into correct GLOBAL batches via
+    jax.make_array_from_process_local_data (device_put of a host-local
+    global-size array is wrong on multi-host)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH="/root/repo",
+        OMP_NUM_THREADS="1",
+    )
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(p)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for p in range(2)
+    ]
+    outs = []
+    for p, proc in enumerate(procs):
+        out, _ = proc.communicate(timeout=600)
+        outs.append(out)
+        assert proc.returncode == 0, f"worker {p} failed:\n{out}"
+        assert f"WORKER_{p}_OK" in out, out
+    # both processes observed the same global batches
+    line0 = [l for l in outs[0].splitlines() if "WORKER_0_OK" in l][0]
+    line1 = [l for l in outs[1].splitlines() if "WORKER_1_OK" in l][0]
+    assert line0.split("OK")[1] == line1.split("OK")[1]
