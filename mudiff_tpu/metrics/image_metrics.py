@@ -7,9 +7,11 @@ implemented here to skimage's exact default spec: 7x7 uniform filter,
 K1=0.01, K2=0.03, sample covariance normalization (N/(N-1)), no gaussian
 weighting, crop to the valid (pad) region.
 
-LPIPS (AlexNet) requires pretrained torch weights that cannot be
-downloaded in a zero-egress environment; ``lpips_fn`` is pluggable and
-``evaluate_pair_dirs`` reports it only when available.
+LPIPS (AlexNet) is implemented in mudiff_tpu/metrics/lpips.py; real
+values need the pretrained torch weights (MUDIFF_LPIPS_ALEXNET /
+MUDIFF_LPIPS_LIN), which cannot be downloaded in a zero-egress
+environment.  MUDIFF_LPIPS_RAND=1 enables the documented random-feature
+fallback, reported under the distinct key ``lpips_rand``.
 """
 
 from __future__ import annotations
@@ -84,16 +86,25 @@ def evaluate_pair_dirs(
     lpips_fn: Optional[Callable[[np.ndarray, np.ndarray], float]] = None,
 ) -> Dict[str, float]:
     """Offline eval of matching PNG file pairs in two directories
-    (reference tools/metric_calc.py:39-64): per-pair PSNR/SSIM/MAE on
-    [0,1] grayscale, averaged."""
+    (reference tools/metric_calc.py:39-64): per-pair PSNR/SSIM/MAE
+    (+LPIPS when a scorer is available) on [0,1] grayscale, averaged."""
     from PIL import Image
+
+    lpips_key = "lpips"
+    if lpips_fn is None:
+        from mudiff_tpu.metrics.lpips import LPIPS
+
+        scorer = LPIPS.from_env()
+        if scorer is not None:
+            lpips_fn = scorer
+            lpips_key = scorer.key
 
     preds = sorted(f for f in os.listdir(pred_dir) if f.endswith(".png"))
     gts = sorted(f for f in os.listdir(gt_dir) if f.endswith(".png"))
     assert len(preds) == len(gts) and preds, (
         f"mismatched dirs: {len(preds)} preds vs {len(gts)} gts"
     )
-    acc = {"psnr": [], "ssim": [], "mae": [], "lpips": []}
+    acc = {"psnr": [], "ssim": [], "mae": [], lpips_key: []}
     for pf, gf in zip(preds, gts):
         p = np.asarray(
             Image.open(os.path.join(pred_dir, pf)).convert("L"), np.float32
@@ -105,7 +116,7 @@ def evaluate_pair_dirs(
         acc["ssim"].append(ssim(g, p))
         acc["mae"].append(mae(g, p))
         if lpips_fn is not None:
-            acc["lpips"].append(lpips_fn(g, p))
+            acc[lpips_key].append(lpips_fn(g, p))
     out = {
         k: float(np.mean(v)) for k, v in acc.items() if v
     }
