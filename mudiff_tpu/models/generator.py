@@ -190,54 +190,78 @@ class NCSNppGenerator(nn.Module):
 
         # --- condition encoding ----------------------------------------
         if not self.adaptive:
-            x_feat = ConvFeatBlock(act, nf, dtype=dt, name="encoder_x")(x)
-            feats = [
-                ConvFeatBlock(act, nf, dtype=dt, name=f"encoder_c{i + 1}")(c)
-                for i, c in enumerate(conds)
+            # The four stems run as ONE block-diagonal fused conv pair —
+            # exact same math/params as four ConvFeatBlocks, 2-40x faster
+            # on the MXU (nn/fused_stems.py; tools/bench_stem.py).
+            from mudiff_tpu.nn.fused_stems import (
+                ConvFeatParams,
+                fused_convfeat_apply,
+            )
+
+            names = ["encoder_x"] + [
+                f"encoder_c{i + 1}" for i in range(len(conds))
             ]
-            h = jnp.concatenate([x_feat] + feats, axis=-1)
+            stem_params = [ConvFeatParams(nf, name=n)() for n in names]
+            stacked = jnp.concatenate([x] + conds, axis=-1)
+            h = fused_convfeat_apply(stacked, stem_params, act, dt)
         else:
             assert pseudo_target is not None, (
                 "adaptive generator requires pseudo_target (G1's prediction)"
             )
+            from mudiff_tpu.nn.fused_stems import (
+                Conv3x3Params,
+                ConvBlockGAPParams,
+                ConvBlockParams,
+                ConvFeatParams,
+                fused_adaptive_encode,
+                fused_gate_convs,
+                fused_weight_convs,
+            )
+
             # The pseudo-target style vector is 256-d regardless of
             # z_emb_dim: the reference's ConvBlock_GAP partial never
             # passes zemb_dim, so the layerspp default of 256 applies
-            # (ncsnpp_generator_adagn_feat.py:555-557,
-            # layerspp.py:459).
-            pseudo_weight = ConvBlockGAP(
-                act, nf, zemb_dim=256, dtype=dt, name="pseudo_gap"
-            )(pseudo_target.astype(dt))
-            x_feat = ConvFeatBlock(act, nf, dtype=dt, name="encoder_x")(x)
-            feats = [
-                ConvBlock(act, nf, dtype=dt, name=f"encoder_c{i + 1}")(
-                    c, pseudo_weight
-                )
-                for i, c in enumerate(conds)
+            # (ncsnpp_generator_adagn_feat.py:555-557, layerspp.py:459).
+            # All five Cin=1 stem convs + the four trunk-side second
+            # convs run as fused block-diagonal convs (nn/fused_stems.py
+            # — exact math, 2-40x faster on the MXU).
+            px = ConvFeatParams(nf, name="encoder_x")()
+            pcs = [
+                ConvBlockParams(nf, style_dim=256, name=f"encoder_c{i + 1}")()
+                for i in range(len(conds))
             ]
+            pgap = ConvBlockGAPParams(nf, zemb_dim=256, name="pseudo_gap")()
+            x_feat, feats, _pw = fused_adaptive_encode(
+                x, conds, pseudo_target.astype(dt), px, pcs, pgap, act, dt
+            )
             allc = jnp.concatenate(feats, axis=-1)
-
-            def gate(name):
-                return jax.nn.sigmoid(Conv3x3(nf, dtype=dt, name=name)(allc))
 
             if self.num_conditions == 3:
                 # cyclic pairwise attention fusion (reference :620-631,
-                # :769-791)
+                # :769-791): the six gates share one input -> one conv;
+                # the three weight convs -> one block-diagonal conv
+                gate_names = [
+                    "feat_att1_c12", "feat_att2_c12",
+                    "feat_att1_c23", "feat_att2_c23",
+                    "feat_att1_c31", "feat_att2_c31",
+                ]
+                gp = [
+                    Conv3x3Params(nf, allc.shape[-1], name=n)()
+                    for n in gate_names
+                ]
+                a1_12, a2_12, a1_23, a2_23, a1_31, a2_31 = fused_gate_convs(
+                    allc, gp, dt
+                )
                 c1, c2, c3 = feats
-                a1_12, a2_12 = gate("feat_att1_c12"), gate("feat_att2_c12")
-                a1_23, a2_23 = gate("feat_att1_c23"), gate("feat_att2_c23")
-                a1_31, a2_31 = gate("feat_att1_c31"), gate("feat_att2_c31")
-                c1_att = Conv3x3(nf, dtype=dt, name="feat_weight_c1")(
-                    a1_12 * c1
+                wp = [
+                    Conv3x3Params(nf, nf, name=f"feat_weight_c{i + 1}")()
+                    for i in range(3)
+                ]
+                c1_att, c2_att, c3_att = fused_weight_convs(
+                    [a1_12 * c1, a1_23 * c2, a1_31 * c3], wp, dt
                 )
                 fused12 = a2_12 * c1_att + (1 - a2_12) * c2
-                c2_att = Conv3x3(nf, dtype=dt, name="feat_weight_c2")(
-                    a1_23 * c2
-                )
                 fused23 = a2_23 * c2_att + (1 - a2_23) * c3
-                c3_att = Conv3x3(nf, dtype=dt, name="feat_weight_c3")(
-                    a1_31 * c3
-                )
                 fused31 = a2_31 * c3_att + (1 - a2_31) * c1
                 h = jnp.concatenate(
                     [x_feat, fused12, fused23, fused31], axis=-1
@@ -246,9 +270,15 @@ class NCSNppGenerator(nn.Module):
                 # single pairwise fusion (healthy reference :620-631,
                 # :749-759)
                 c1, c2 = feats
-                a1_12, a2_12 = gate("feat_att1_c12"), gate("feat_att2_c12")
-                c1_att = Conv3x3(nf, dtype=dt, name="feat_weight_c1")(
-                    a1_12 * c1
+                gp = [
+                    Conv3x3Params(nf, allc.shape[-1], name=n)()
+                    for n in ("feat_att1_c12", "feat_att2_c12")
+                ]
+                a1_12, a2_12 = fused_gate_convs(allc, gp, dt)
+                (c1_att,) = fused_weight_convs(
+                    [a1_12 * c1],
+                    [Conv3x3Params(nf, nf, name="feat_weight_c1")()],
+                    dt,
                 )
                 fused12 = a2_12 * c1_att + (1 - a2_12) * c2
                 h = jnp.concatenate([x_feat, fused12], axis=-1)

@@ -1,0 +1,353 @@
+"""MXU-fused condition-image stem bank.
+
+The generator encodes x_t plus the condition images through N
+independent two-conv stems (reference layerspp.py:394-423 ConvFeatBlock,
+used at backbones/ncsnpp_generator_adagn_feat.py:177-184).  Run
+separately, the N Cin=1 convs are pathological on TPU — measured
+~50 ms for four 256^2 1->64 convs at B=32, ~0.5 TF/s, because a
+1-channel input cannot fill the MXU's contracting dimension.  Packing
+the N stems into ONE dense conv with a block-diagonal kernel runs the
+same math 40x faster (~1.2 ms), and the N second convs (64->64, which
+underfill the 128-lane MXU at 18.6 TF/s) speed up 2-3.6x the same way
+(tools/bench_stem.py).
+
+Two pieces:
+
+* ``ConvFeatParams`` — a *declaration mirror* of ConvFeatBlock: it
+  declares the EXACT same parameter tree (``conv1/conv/{kernel,bias}``,
+  ``conv2/conv/{kernel,bias}``, same shapes, same initializers, and —
+  because flax derives param RNGs from the scope path — the same
+  initial values), but performs no computation.  Checkpoints, param
+  counts, and weight-transplant mappings are unchanged.
+* ``fused_convfeat_apply`` — runs all N stems in one pass on the
+  channel-stacked input: block-diagonal conv1, one stacked GroupNorm
+  (group boundaries never cross stems, so statistics are identical to
+  per-stem GroupNorm), activation, block-diagonal conv2.  Off-diagonal
+  kernel blocks are exact zeros, so every output value equals the
+  per-stem computation (x + 0 == x in any float format).
+
+Gradients flow only through the per-stem kernel parameters (the
+block-diagonal assembly is a gather), so training is also exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mudiff_tpu.nn.initializers import default_init, stylegan_dense_init
+
+Dtype = Any
+Act = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+class ConvParams(nn.Module):
+    """Declares nn.Conv's {kernel,bias} with Conv3x3's shapes/inits."""
+
+    features: int
+    in_ch: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            default_init(self.init_scale),
+            (3, 3, self.in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class Conv3x3Params(nn.Module):
+    """Path mirror of Conv3x3 (which wraps nn.Conv under name 'conv')."""
+
+    features: int
+    in_ch: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return ConvParams(
+            self.features, self.in_ch, self.init_scale, name="conv"
+        )()
+
+
+class ConvFeatParams(nn.Module):
+    """Declaration mirror of ConvFeatBlock (nn/blocks.py:496-509):
+    conv1 (in_ch->features), [param-free GroupNorm], conv2
+    (features->features)."""
+
+    features: int
+    in_ch: int = 1
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = Conv3x3Params(self.features, self.in_ch, name="conv1")()
+        k2, b2 = Conv3x3Params(self.features, self.features, name="conv2")()
+        return k1, b1, k2, b2
+
+
+def block_diag_conv1(kernels: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """N kernels (3,3,1,F) -> one (3,3,N,N*F) block-diagonal kernel."""
+    n = len(kernels)
+    f = kernels[0].shape[-1]
+    out = jnp.zeros((3, 3, n, n * f), kernels[0].dtype)
+    for i, k in enumerate(kernels):
+        out = out.at[:, :, i, i * f:(i + 1) * f].set(k[:, :, 0, :])
+    return out
+
+
+def block_diag_conv2(kernels: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """N kernels (3,3,F,F) -> one (3,3,N*F,N*F) block-diagonal kernel."""
+    n = len(kernels)
+    f = kernels[0].shape[-2]
+    out = jnp.zeros((3, 3, n * f, n * f), kernels[0].dtype)
+    for i, k in enumerate(kernels):
+        out = out.at[:, :, i * f:(i + 1) * f, i * f:(i + 1) * f].set(k)
+    return out
+
+
+def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+          dtype) -> jnp.ndarray:
+    """Match flax nn.Conv numerics: promote to compute dtype, SAME-pad
+    3x3, add bias in compute dtype."""
+    x = x.astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(dtype)
+
+
+def stacked_group_norm(h: jnp.ndarray, n_stems: int,
+                       groups_per_stem: int) -> jnp.ndarray:
+    """Non-affine GroupNorm over an (..., N*F) stem-stacked tensor with
+    group boundaries inside each stem — statistics identical to running
+    per-stem GroupNorm(groups_per_stem) (eps 1e-6, fp32 stats, like
+    PlainGroupNorm)."""
+    return nn.GroupNorm(
+        num_groups=n_stems * groups_per_stem,
+        epsilon=1e-6,
+        use_bias=False,
+        use_scale=False,
+        dtype=h.dtype,
+    )(h)
+
+
+def fused_convfeat_apply(
+    stacked: jnp.ndarray,
+    params: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    act: Act,
+    dtype,
+) -> jnp.ndarray:
+    """Apply N ConvFeatBlocks in one fused pass.
+
+    stacked: (B,H,W,N) channel-stacked 1-channel inputs; params: list of
+    (k1,b1,k2,b2) from ConvFeatParams.  Returns (B,H,W,N*F), laid out
+    stem-major — equal to concatenating the per-stem outputs.
+    """
+    from mudiff_tpu.nn.blocks import _num_groups
+
+    n = len(params)
+    f = params[0][0].shape[-1]
+    k1 = block_diag_conv1([p[0] for p in params])
+    b1 = jnp.concatenate([p[1] for p in params])
+    k2 = block_diag_conv2([p[2] for p in params])
+    b2 = jnp.concatenate([p[3] for p in params])
+    h = _conv(stacked, k1, b1, dtype)
+    h = stacked_group_norm(h, n, _num_groups(f))
+    h = act(h)
+    return _conv(h, k2, b2, dtype)
+
+
+# ---------------------------------------------------------------------
+# G2 (adaptive) condition encoding: declaration mirrors + fused apply
+# ---------------------------------------------------------------------
+
+
+class DenseParams(nn.Module):
+    """Declares nn.Dense's {kernel,bias} with given shapes/inits."""
+
+    features: int
+    in_features: int
+    kernel_init: Callable = None
+    bias_init: Callable = None
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            self.kernel_init or stylegan_dense_init(1.0),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias",
+            self.bias_init or nn.initializers.zeros,
+            (self.features,),
+            jnp.float32,
+        )
+        return kernel, bias
+
+
+class ConvBlockParams(nn.Module):
+    """Declaration mirror of ConvBlock (nn/blocks.py:512-525): conv1,
+    AdaptiveGroupNorm's style dense (path group_norm/style), conv2."""
+
+    features: int
+    style_dim: int = 256
+    in_ch: int = 1
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = Conv3x3Params(self.features, self.in_ch, name="conv1")()
+        c = self.features
+
+        def _style_bias(key, shape, dtype=jnp.float32):
+            # AdaptiveGroupNorm inits the style bias to (gamma=1, beta=0)
+            # (nn/blocks.py:99-102)
+            return jnp.concatenate(
+                [jnp.ones((c,), dtype), jnp.zeros((c,), dtype)]
+            )
+
+        class _GN(nn.Module):
+            @nn.compact
+            def __call__(self2):
+                return DenseParams(
+                    2 * c, self.style_dim,
+                    kernel_init=stylegan_dense_init(1.0),
+                    bias_init=_style_bias, name="style",
+                )()
+
+        sk, sb = _GN(name="group_norm")()
+        k2, b2 = Conv3x3Params(self.features, self.features, name="conv2")()
+        return k1, b1, sk, sb, k2, b2
+
+
+class ConvBlockGAPParams(nn.Module):
+    """Declaration mirror of ConvBlockGAP (nn/blocks.py:528-544): conv1,
+    [param-free GroupNorm], conv2, fc (layers.Dense wraps nn.Dense under
+    name 'dense')."""
+
+    features: int
+    zemb_dim: int = 256
+    in_ch: int = 1
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = Conv3x3Params(self.features, self.in_ch, name="conv1")()
+        k2, b2 = Conv3x3Params(self.features, self.features, name="conv2")()
+
+        class _FC(nn.Module):
+            @nn.compact
+            def __call__(self2):
+                return DenseParams(
+                    self.zemb_dim, self.features,
+                    kernel_init=stylegan_dense_init(1.0),
+                    bias_init=nn.initializers.zeros, name="dense",
+                )()
+
+        fk, fb = _FC(name="fc")()
+        return k1, b1, k2, b2, fk, fb
+
+
+def fused_adaptive_encode(
+    x: jnp.ndarray,
+    conds: List[jnp.ndarray],
+    pseudo: jnp.ndarray,
+    px,     # ConvFeatParams of encoder_x
+    pcs,    # list of ConvBlockParams of encoder_c{i}
+    pgap,   # ConvBlockGAPParams of pseudo_gap
+    act: Act,
+    dtype,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray], jnp.ndarray]:
+    """G2 condition encoding, fused.
+
+    Equivalent to (models/generator.py adaptive branch; reference
+    ncsnpp_generator_adagn_feat.py:578-631):
+      pseudo_weight = ConvBlockGAP(pseudo)
+      x_feat = ConvFeatBlock(x)
+      feats[i] = ConvBlock(conds[i], pseudo_weight)
+    but all five Cin=1 first convs run as ONE block-diagonal conv, the
+    five GroupNorms as ONE stacked GroupNorm, and the four non-pseudo
+    second convs as ONE block-diagonal conv.  The pseudo branch's second
+    conv stays separate (the style affine of the ConvBlocks depends on
+    its output).  Returns (x_feat, feats, pseudo_weight).
+    """
+    from mudiff_tpu.nn.blocks import _num_groups
+
+    n_c = len(conds)
+    f = px[0].shape[-1]
+    stems = [x] + conds + [pseudo]
+    n = len(stems)
+    stacked = jnp.concatenate(stems, axis=-1)
+
+    k1 = block_diag_conv1(
+        [px[0]] + [p[0] for p in pcs] + [pgap[0]]
+    )
+    b1 = jnp.concatenate([px[1]] + [p[1] for p in pcs] + [pgap[1]])
+    h = _conv(stacked, k1, b1, dtype)
+    h = stacked_group_norm(h, n, _num_groups(f))
+
+    # pseudo branch first: GAP style vector (sequential dependency)
+    hp = act(h[..., n_c * f + f:])
+    hp = _conv(hp, pgap[2], pgap[3], dtype)
+    pw = jnp.mean(hp, axis=(1, 2))
+    pseudo_weight = (
+        pw @ pgap[4].astype(pw.dtype) + pgap[5].astype(pw.dtype)
+    )
+
+    # style affines for the condition blocks (AdaGN, nn/blocks.py:96-120)
+    parts = [act(h[..., :f])]  # x stem: plain GN -> act
+    for i, p in enumerate(pcs):
+        gb = (
+            pseudo_weight @ p[2].astype(pseudo_weight.dtype)
+            + p[3].astype(pseudo_weight.dtype)
+        )
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        hi = h[..., (i + 1) * f:(i + 2) * f]
+        hi = gamma[:, None, None, :] * hi + beta[:, None, None, :]
+        parts.append(act(hi))
+
+    h4 = jnp.concatenate(parts, axis=-1)
+    k2 = block_diag_conv2([px[2]] + [p[4] for p in pcs])
+    b2 = jnp.concatenate([px[3]] + [p[5] for p in pcs])
+    out = _conv(h4, k2, b2, dtype)
+    x_feat = out[..., :f]
+    feats = [out[..., (i + 1) * f:(i + 2) * f] for i in range(n_c)]
+    return x_feat, feats, pseudo_weight
+
+
+def fused_gate_convs(
+    allc: jnp.ndarray,
+    gate_params: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    dtype,
+) -> List[jnp.ndarray]:
+    """N gate convs share ONE input: concatenate kernels along Cout and
+    run a single conv (no extra FLOPs, exact).  Returns the sigmoided
+    per-gate outputs."""
+    f = gate_params[0][0].shape[-1]
+    k = jnp.concatenate([p[0] for p in gate_params], axis=-1)
+    b = jnp.concatenate([p[1] for p in gate_params])
+    g = jax.nn.sigmoid(_conv(allc, k, b, dtype))
+    return [g[..., i * f:(i + 1) * f] for i in range(len(gate_params))]
+
+
+def fused_weight_convs(
+    inputs: List[jnp.ndarray],
+    w_params: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    dtype,
+) -> List[jnp.ndarray]:
+    """N same-shape convs on N different inputs: block-diagonal fuse."""
+    f = w_params[0][0].shape[-1]
+    k = block_diag_conv2([p[0] for p in w_params])
+    b = jnp.concatenate([p[1] for p in w_params])
+    out = _conv(jnp.concatenate(inputs, axis=-1), k, b, dtype)
+    return [out[..., i * f:(i + 1) * f] for i in range(len(w_params))]
