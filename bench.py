@@ -80,9 +80,15 @@ def build_sampler(cfg, mesh=None):
     return sampler, params_g1, params_g2, shard
 
 
-def measure_throughput(cfg, mesh=None, batches=(64, 32, 16, 8, 4, 2, 1),
-                       max_ok=2):
+def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
     """Best sampling throughput (slices/sec, GLOBAL) over batch sizes."""
+    if batches is None:
+        # Each OOM discovery costs a full remote compile (~10 min at
+        # 256²) — start the ladder below the known HBM ceiling.
+        # nf=64 fits batch 64 on 16G; nf=128 OOMs at 32 (4× activation
+        # + param footprint), so start it at 16.
+        batches = ((16, 8, 4, 2, 1) if cfg.num_channels_dae >= 128
+                   else (64, 32, 16, 8, 4, 2, 1))
     n_dev = 1 if mesh is None else mesh.devices.size
     sampler, pg1, pg2, shard = build_sampler(cfg, mesh)
     s = cfg.image_size
@@ -125,9 +131,13 @@ def measure_throughput(cfg, mesh=None, batches=(64, 32, 16, 8, 4, 2, 1),
             value = max(value or 0.0, batch * iters / elapsed)
             tried_ok += 1
         except Exception as e:  # OOM at this batch -> halve
-            msg = str(e)
-            if ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-                    or "exceeds" in msg):
+            # The axon remote-compile service surfaces HBM OOM as an
+            # HTTP 500 whose body says "Ran out of memory in memory
+            # space hbm ... Exceeded hbm capacity" — match
+            # case-insensitively over all the known spellings.
+            msg = str(e).lower()
+            if ("resource_exhausted" in msg or "out of memory" in msg
+                    or "exceed" in msg or "oom" in msg):
                 continue
             raise
     if value is None:

@@ -61,7 +61,12 @@ def check(cfg_path: str, data_required: bool = False) -> List[str]:
     for e in exps:
         name = e.get("exp_name", "<unnamed>")
         ta = e.get("train_args") or {}
-        missing = [k for k in REQUIRED_TRAIN_KEYS if k not in ta]
+        # run.py injects target_modality from the experiment-level
+        # ``target`` key (cli/run.py:_config_from_yaml), so either
+        # spelling satisfies the static check.
+        missing = [k for k in REQUIRED_TRAIN_KEYS
+                   if k not in ta
+                   and not (k == "target_modality" and e.get("target"))]
         if missing:
             errors.append(f"{name}: train_args missing {missing}")
         else:
