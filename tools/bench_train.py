@@ -7,9 +7,11 @@ recipe, reporting slices/sec/chip — directly comparable to the
 reference's only measured runtime number: ~6 slices/s per GPU at
 per-GPU batch 2 on A100, host-data-bound (BASELINE.md).
 
-Usage: PYTHONPATH=.:/root/.axon_site python tools/bench_train.py
+Usage: PYTHONPATH=.:/root/.axon_site python tools/bench_train.py \
+           [--nf 64] [--batch 8] [--remat]
 """
 
+import argparse
 import json
 import time
 
@@ -22,10 +24,18 @@ def main() -> None:
     from mudiff_tpu.config import brats_recipe
     from mudiff_tpu.train import create_train_state, make_train_step
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nf", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="activation checkpointing (use_grad_checkpoint)")
+    args = ap.parse_args()
+
     cfg = brats_recipe(
-        num_channels_dae=64, image_size=256, use_bf16=True, lazy_reg=16,
+        num_channels_dae=args.nf, image_size=256, use_bf16=True,
+        lazy_reg=16, use_grad_checkpoint=args.remat,
     )
-    batch = 8
+    batch = args.batch
     state, g1, g2, d = create_train_state(
         cfg, jax.random.PRNGKey(0), steps_per_epoch=100
     )
@@ -53,7 +63,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     sps = batch * iters / dt
     print(json.dumps({
-        "metric": "train_step_throughput_256_nf64",
+        "metric": f"train_step_throughput_256_nf{args.nf}",
         "value": round(sps, 3),
         "unit": "slices/sec/chip",
         "vs_baseline": round(sps / 6.0, 3),
