@@ -136,7 +136,11 @@ def _down2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
     ho, wo = h // 2, w // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wp = _round_up(wo + 2, 8)
-    ht = _pick_row_tile(ho, wp * 2 * c * x.dtype.itemsize)
+    # Kernel VMEM stack ≈ 4 input blocks (lane-padded to 128) + output
+    # block + temporaries ≈ 7 × ht × wp×128×2B against the 16M scoped
+    # limit — a 2M per-block budget keeps the whole frame ≤ ~8M.
+    ht = _pick_row_tile(ho, wp * 2 * c * x.dtype.itemsize,
+                        budget=2 * 2 ** 20)
     n_tiles = ho // ht
 
     def plane(a, b):

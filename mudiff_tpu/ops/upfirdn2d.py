@@ -79,19 +79,27 @@ def _depthwise_fir(
     # XLA convolution is a correlation; flipping the kernel here makes the
     # overall op a true convolution, matching the reference's
     # F.conv2d(x, flip(kernel)).
-    kflip = jnp.flip(kernel, (0, 1)).astype(jnp.float32)
+    # Precision policy: fp32 inputs (CPU tests, reference-oracle parity)
+    # keep the exact fp32 HIGHEST path.  bf16 inputs — the in-model hot
+    # path — run native bf16 at default precision: on TPU, XLA expands
+    # feature_group_count=C into a dense block-diagonal conv, and a
+    # HIGHEST pin turns that into a 6-pass fp32 matmul (measured 41.6 ms
+    # for one 256² C=64 B=8 downsample vs sub-ms in bf16 —
+    # tools/bench_fir.py, PERFORMANCE.md round 2).
+    exact = x.dtype == jnp.float32
+    cdt = jnp.float32 if exact else x.dtype
+    kflip = jnp.flip(kernel, (0, 1)).astype(cdt)
     rhs = jnp.broadcast_to(kflip[:, :, None, None], (kh, kw, 1, c))
-    # The FIR tap count is tiny (<=16 MACs/pixel) so full fp32 precision is
-    # effectively free; XLA's default conv precision does bf16 multiplies.
     out = lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x.astype(cdt),
         rhs,
         window_strides=(down, down),
         padding=((pad0, pad_hi), (pad0, pad_hi)),
         lhs_dilation=(up, up),
         feature_group_count=c,
         dimension_numbers=_DN(x.shape, rhs.shape, ("NHWC", "HWIO", "NHWC")),
-        precision=lax.Precision.HIGHEST,
+        precision=lax.Precision.HIGHEST if exact else None,
+        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
 
@@ -189,15 +197,19 @@ def upsample_conv_2d(
     # kernel over the zero-dilated input, with full (kh-1) padding.
     # (output_padding is identically 0 for the reference's output-shape
     # choice: up_or_down_sampling.py:123-126.)
-    wf = w.astype(jnp.float32)
+    # bf16 inputs stay bf16 (fp32 operand casts double HBM traffic on
+    # the hot path); fp32 inputs keep the exact fp32 path for parity.
+    cdt = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    wf = w.astype(cdt)
     out = lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x.astype(cdt),
         wf,
         window_strides=(1, 1),
         padding=((kh - 1, kh - 1), (kh - 1, kh - 1)),
         lhs_dilation=(factor, factor),
         dimension_numbers=_DN(x.shape, wf.shape, ("NHWC", "HWIO", "NHWC")),
         precision=precision,
+        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     return upfirdn2d(
         out, k, pad=((p + 1) // 2 + factor - 1, p // 2 + 1)
@@ -224,13 +236,15 @@ def conv_downsample_2d(
     k = setup_fir_kernel(k) * gain
     p = (k.shape[0] - factor) + (kh - 1)
     x = upfirdn2d(x, k, pad=((p + 1) // 2, p // 2))
-    w32 = w.astype(jnp.float32)
+    cdt = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    wc = w.astype(cdt)
     out = lax.conv_general_dilated(
-        x.astype(jnp.float32),
-        w32,
+        x.astype(cdt),
+        wc,
         window_strides=(factor, factor),
         padding="VALID",
-        dimension_numbers=_DN(x.shape, w32.shape, ("NHWC", "HWIO", "NHWC")),
+        dimension_numbers=_DN(x.shape, wc.shape, ("NHWC", "HWIO", "NHWC")),
         precision=precision,
+        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
