@@ -116,7 +116,11 @@ def _down2_kernel(x00, x01, x10, x11, o_ref, *, taps, ht):
         (1, 0): x10[0, 0], (1, 1): x11[0, 0],
     }
     c = o_ref.shape[-1]
-    acc = None
+    # Accumulate into the output ref instead of a 16-product expression
+    # tree: Mosaic sizes the kernel's scoped-VMEM stack over ALL live
+    # temporaries, and 16 simultaneous ht×W×C products overflow the
+    # 16 MB limit at model shapes (~1.1 MB each).  Ref accumulation
+    # keeps the live set to one product.
     for a in (0, 1):
         for b in (0, 1):
             x = planes[(a, b)]
@@ -125,9 +129,13 @@ def _down2_kernel(x00, x01, x10, x11, o_ref, *, taps, ht):
                     w = float(taps[a + 2 * r] * taps[b + 2 * s])
                     rows = x[r:r + ht]
                     # s=0: plane itself; s=1: the pre-shifted copy
-                    part = rows[..., s * c:(s + 1) * c]
-                    acc = part * w if acc is None else acc + part * w
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+                    part = (rows[..., s * c:(s + 1) * c] * w).astype(
+                        o_ref.dtype
+                    )
+                    if (a, b, r, s) == (0, 0, 0, 0):
+                        o_ref[0, 0] = part
+                    else:
+                        o_ref[0, 0] += part
 
 
 def _down2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
@@ -182,18 +190,26 @@ def _up2_kernel(xs0, xs1, xs2, o_ref, *, taps, ht):
     along channels (Y00 Y01 Y10 Y11), interleaved by XLA afterwards."""
     t0, t1, t2, t3 = taps
     cols = {0: xs0[0, 0], 1: xs1[0, 0], 2: xs2[0, 0]}
+    c = xs0.shape[-1]
     # per-axis: even = k0*v[d] + k2*v[d+1]; odd = k1*v[d+1] + k3*v[d+2]
     row_taps = {0: ((t0, 0), (t2, 1)), 1: ((t1, 1), (t3, 2))}
-    outs = []
+    # Write each parity plane into its channel slice of the ref directly
+    # — a concatenate of four ht×W×C temporaries doubles the live
+    # scoped-VMEM set (see _down2_kernel note).
     for a in (0, 1):  # output row parity
         for b in (0, 1):  # output col parity
-            acc = None
+            sl = slice((2 * a + b) * c, (2 * a + b + 1) * c)
+            first = True
             for (wr, dr) in row_taps[a]:
                 for (wc, dc) in row_taps[b]:
-                    part = cols[dc][dr:dr + ht] * float(wr * wc)
-                    acc = part if acc is None else acc + part
-            outs.append(acc)
-    o_ref[0, 0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+                    part = (cols[dc][dr:dr + ht] * float(wr * wc)).astype(
+                        o_ref.dtype
+                    )
+                    if first:
+                        o_ref[0, 0, :, :, sl] = part
+                        first = False
+                    else:
+                        o_ref[0, 0, :, :, sl] += part
 
 
 def _up2_pallas(x: jnp.ndarray, k1: np.ndarray) -> jnp.ndarray:
