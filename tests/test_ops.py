@@ -202,3 +202,27 @@ def test_upfirdn2d_differentiable():
     # second order
     h = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
     assert np.isfinite(np.asarray(h)).all()
+
+
+@pytest.mark.parametrize("mode", ["up2", "down2", "generic"])
+def test_bf16_fir_path_close_to_fp32(mode):
+    """The bf16 hot path (default precision, fp32 accumulation —
+    ops/upfirdn2d.py precision policy) stays within bf16 tolerance of
+    the exact fp32 HIGHEST path."""
+    rng = np.random.RandomState(7)
+    x32 = rng.randn(2, 32, 32, 16).astype(np.float32)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    k = [1.0, 3.0, 3.0, 1.0]
+    if mode == "up2":
+        f = lambda t: ops.upsample_2d(t, k, factor=2)
+    elif mode == "down2":
+        f = lambda t: ops.downsample_2d(t, k, factor=2)
+    else:
+        k2 = np.outer(k, k) / 16.0
+        f = lambda t: ops.upfirdn2d(t, k2, up=1, down=1, pad=(2, 1))
+    exact = np.asarray(f(jnp.asarray(x32)), np.float32)
+    fast = np.asarray(f(x16), np.float32)
+    scale = np.max(np.abs(exact)) + 1e-12
+    assert np.max(np.abs(exact - fast)) / scale < 3e-2, (
+        np.max(np.abs(exact - fast)) / scale
+    )
