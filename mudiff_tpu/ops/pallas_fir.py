@@ -7,7 +7,16 @@ upsample (pad (2,1), gain 4) with the separable [1,3,3,1] kernel
 lowering (ops/upfirdn2d.py) is a single fused dilated conv; these Pallas
 kernels implement the same math as explicit phase-decomposed vector
 FMAs on the VPU — 16 multiply-adds per output tile instead of a 16-tap
-dense conv — selectable for perf A/B (MUDIFF_PALLAS_FIR=1).
+dense conv.
+
+STATUS (round-2 A/B, PERFORMANCE.md): compiles and runs on the chip at
+all in-model shapes; standalone they beat the isolated XLA lowering
+14-74x, but **in-model they lose** (21.9 -> 14.4 slices/s on the
+headline sampler) because the XLA-side phase-plane materializations
+cost full-array HBM round-trips that XLA's fused-conv lowering never
+pays.  The production routing flag was therefore removed; the kernels
+remain as tested reference TPU kernels (interpreter-exact fwd+bwd,
+on-chip execution verified — the SURVEY §2.1 CUDA-kernel equivalent).
 
 Mosaic-compatibility design (the round-1 variants were rejected by
 layout inference):
@@ -297,7 +306,3 @@ def _up_bwd(k, _res, g):
 
 
 upsample_2d_pallas.defvjp(_up_fwd, _up_bwd)
-
-
-def pallas_fir_enabled() -> bool:
-    return os.environ.get("MUDIFF_PALLAS_FIR", "0") == "1"

@@ -32,23 +32,6 @@ from jax import lax
 _DN = lax.conv_dimension_numbers  # alias
 
 
-def _use_pallas_fir() -> bool:
-    """Route the hot factor-2 modes through the Pallas kernels
-    (ops/pallas_fir.py) when MUDIFF_PALLAS_FIR=1 and a TPU backend is
-    live.  Default off: the XLA lowering is the numerically-authoritative
-    path (see PERFORMANCE.md)."""
-    import os
-
-    if os.environ.get("MUDIFF_PALLAS_FIR", "0") != "1":
-        return False
-    try:
-        import jax
-
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
-
-
 def setup_fir_kernel(k: Union[Sequence[float], np.ndarray]) -> np.ndarray:
     """Normalize a 1-D (separable) or 2-D FIR kernel to sum 1.
 
@@ -130,13 +113,6 @@ def upsample_2d(
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1.0] * factor
-    if (
-        factor == 2 and gain == 1.0 and np.asarray(k).ndim == 1
-        and np.asarray(k).size == 4 and _use_pallas_fir()
-    ):
-        from mudiff_tpu.ops import pallas_fir
-
-        return pallas_fir.upsample_2d_pallas(x, tuple(k))
     k = setup_fir_kernel(k) * (gain * (factor ** 2))
     p = k.shape[0] - factor
     return upfirdn2d(
@@ -154,14 +130,6 @@ def downsample_2d(
     assert isinstance(factor, int) and factor >= 1
     if k is None:
         k = [1.0] * factor
-    if (
-        factor == 2 and gain == 1.0 and np.asarray(k).ndim == 1
-        and np.asarray(k).size == 4 and _use_pallas_fir()
-        and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-    ):
-        from mudiff_tpu.ops import pallas_fir
-
-        return pallas_fir.downsample_2d_pallas(x, tuple(k))
     k = setup_fir_kernel(k) * gain
     p = k.shape[0] - factor
     return upfirdn2d(x, k, down=factor, pad=((p + 1) // 2, p // 2))

@@ -55,8 +55,3 @@ def test_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gu_p), np.asarray(gu_x), atol=1e-4)
 
 
-def test_backend_switch_defaults_off(monkeypatch):
-    monkeypatch.delenv("MUDIFF_PALLAS_FIR", raising=False)
-    assert not pallas_fir.pallas_fir_enabled()
-    monkeypatch.setenv("MUDIFF_PALLAS_FIR", "1")
-    assert pallas_fir.pallas_fir_enabled()
