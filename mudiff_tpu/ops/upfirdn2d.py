@@ -82,7 +82,6 @@ def _depthwise_fir(
         feature_group_count=c,
         dimension_numbers=_DN(x.shape, rhs.shape, ("NHWC", "HWIO", "NHWC")),
         precision=lax.Precision.HIGHEST if exact else None,
-        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
 
@@ -177,7 +176,6 @@ def upsample_conv_2d(
         lhs_dilation=(factor, factor),
         dimension_numbers=_DN(x.shape, wf.shape, ("NHWC", "HWIO", "NHWC")),
         precision=precision,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     return upfirdn2d(
         out, k, pad=((p + 1) // 2 + factor - 1, p // 2 + 1)
@@ -213,6 +211,5 @@ def conv_downsample_2d(
         padding="VALID",
         dimension_numbers=_DN(x.shape, wc.shape, ("NHWC", "HWIO", "NHWC")),
         precision=precision,
-        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
