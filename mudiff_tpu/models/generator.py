@@ -128,9 +128,21 @@ class NCSNppGenerator(nn.Module):
         assert progressive_input in ("none", "input_skip", "residual")
         assert embedding_type in ("fourier", "positional")
 
+        # Block-granular rematerialization: wrapping each res/attn block
+        # in nn.remat caps the backward peak at ONE block's activations
+        # instead of the whole UNet's (full-model jax.checkpoint still
+        # re-materializes every activation at once during the backward
+        # recompute — measured 23.4G vs 15.75G HBM for the nf=128 256²
+        # G step).  Param trees/names are unchanged by the transform.
+        remat = cfg.use_grad_checkpoint
+
         def resblock(name, out_ch=None, up=False, down=False):
             if resblock_type == "ddpm":
-                return ResnetBlockDDPMppAdagn(
+                cls = ResnetBlockDDPMppAdagn
+                if remat:
+                    # (self, x, temb, zemb, train) -> train is static
+                    cls = nn.remat(cls, static_argnums=(4,))
+                return cls(
                     act=act, features=out_ch, dropout=cfg.dropout,
                     skip_rescale=skip_rescale, init_scale=0.0, dtype=dt,
                     name=name,
@@ -140,6 +152,8 @@ class NCSNppGenerator(nn.Module):
                 if resblock_type == "biggan_oneadagn"
                 else ResnetBlockBigGANppAdagn
             )
+            if remat:
+                cls = nn.remat(cls, static_argnums=(4,))
             return cls(
                 act=act, features=out_ch, up=up, down=down,
                 dropout=cfg.dropout, fir=fir, fir_kernel=fir_kernel,
@@ -148,7 +162,8 @@ class NCSNppGenerator(nn.Module):
             )
 
         def attnblock(name):
-            return AttnBlockpp(
+            cls = nn.remat(AttnBlockpp) if remat else AttnBlockpp
+            return cls(
                 skip_rescale=skip_rescale, init_scale=0.0, dtype=dt, name=name
             )
 
@@ -290,7 +305,7 @@ class NCSNppGenerator(nn.Module):
             for i_block in range(num_res_blocks):
                 out_ch = nf * ch_mult[i_level]
                 h = resblock(f"down_{i_level}_{i_block}", out_ch)(
-                    hs[-1], temb, zemb, train=train
+                    hs[-1], temb, zemb, train
                 )
                 if all_resolutions[i_level] in attn_resolutions:
                     h = attnblock(f"down_attn_{i_level}_{i_block}")(h)
@@ -305,7 +320,7 @@ class NCSNppGenerator(nn.Module):
                     )(hs[-1])
                 else:
                     h = resblock(f"downsample_{i_level}", down=True)(
-                        hs[-1], temb, zemb, train=train
+                        hs[-1], temb, zemb, train
                     )
                 if progressive_input == "input_skip":
                     input_pyramid = Downsample(
@@ -333,9 +348,9 @@ class NCSNppGenerator(nn.Module):
 
         # --- middle -----------------------------------------------------
         h = hs[-1]
-        h = resblock("mid_block1")(h, temb, zemb, train=train)
+        h = resblock("mid_block1")(h, temb, zemb, train)
         h = attnblock("mid_attn")(h)
-        h = resblock("mid_block2")(h, temb, zemb, train=train)
+        h = resblock("mid_block2")(h, temb, zemb, train)
 
         # --- decoder ----------------------------------------------------
         pyramid = None
@@ -345,7 +360,7 @@ class NCSNppGenerator(nn.Module):
                 out_ch = nf * ch_mult[i_level]
                 h = resblock(f"up_{i_level}_{i_block}", out_ch)(
                     jnp.concatenate([h, hs.pop()], axis=-1),
-                    temb, zemb, train=train,
+                    temb, zemb, train,
                 )
             if all_resolutions[i_level] in attn_resolutions:
                 h = attnblock(f"up_attn_{i_level}")(h)
@@ -416,7 +431,7 @@ class NCSNppGenerator(nn.Module):
                     )(h)
                 else:
                     h = resblock(f"upsample_{i_level}", up=True)(
-                        h, temb, zemb, train=train
+                        h, temb, zemb, train
                     )
 
         assert not hs

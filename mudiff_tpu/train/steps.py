@@ -169,33 +169,43 @@ def make_g_step(
     pos_coeff: PosteriorCoefficients,
     donate: bool = False,
 ):
+    # With use_grad_checkpoint the generators remat at BLOCK granularity
+    # internally (models/generator.py nn.remat) — that caps the backward
+    # peak at one block's activations, which an outer full-model
+    # jax.checkpoint cannot (its backward recompute re-materializes the
+    # whole forward at once; measured 23.4G vs 15.75G HBM at nf=128
+    # 256² b=4).  Here only the critic forwards get the outer wrap —
+    # their activations are also live through the G backward.
     maybe_remat = (
         (lambda f: jax.checkpoint(f)) if config.use_grad_checkpoint
         else (lambda f: f)
+    )
+    d_fwd = maybe_remat(
+        lambda pd, xp, t, xt: d_apply({"params": pd}, xp, t, xt)
     )
     train_dropout = config.dropout > 0  # static at build time
     if train_dropout:
         # train=True is baked into the closure (it must stay static
         # through jax.checkpoint); the dropout key is a traced arg.
-        g1_fwd = maybe_remat(
+        g1_fwd = (
             lambda p, x, a, b_, c, t, z, kdo: g1_apply(
                 {"params": p}, x, a, b_, c, t, z,
                 train=True, rngs={"dropout": kdo},
             )
         )
-        g2_fwd = maybe_remat(
+        g2_fwd = (
             lambda p, x, a, b_, c, t, z, ps, kdo: g2_apply(
                 {"params": p}, x, a, b_, c, t, z, pseudo_target=ps,
                 train=True, rngs={"dropout": kdo},
             )
         )
     else:
-        g1_fwd = maybe_remat(
+        g1_fwd = (
             lambda p, x, a, b_, c, t, z: g1_apply(
                 {"params": p}, x, a, b_, c, t, z
             )
         )
-        g2_fwd = maybe_remat(
+        g2_fwd = (
             lambda p, x, a, b_, c, t, z, ps: g2_apply(
                 {"params": p}, x, a, b_, c, t, z, pseudo_target=ps
             )
@@ -222,11 +232,11 @@ def make_g_step(
         pos_g1 = sample_posterior(pos_coeff, x0_g1, x_tp1, t, k_p1)
         pos_g2 = sample_posterior(pos_coeff, x0_g2, x_tp1, t, k_p2)
 
-        logit_g1, att_feat_g1 = d_apply(
-            {"params": state.params_d}, pos_g1, t, x_tp1
+        logit_g1, att_feat_g1 = d_fwd(
+            state.params_d, pos_g1, t, x_tp1
         )
-        logit_g2, att_feat_g2 = d_apply(
-            {"params": state.params_d}, pos_g2, t, x_tp1
+        logit_g2, att_feat_g2 = d_fwd(
+            state.params_d, pos_g2, t, x_tp1
         )
 
         hw = pos_g1.shape[1:3]
