@@ -218,7 +218,13 @@ class NCSNppGenerator(nn.Module):
             ]
             stem_params = [ConvFeatParams(nf, name=n)() for n in names]
             stacked = jnp.concatenate([x] + conds, axis=-1)
-            h = fused_convfeat_apply(stacked, stem_params, act, dt)
+            stem_fn = lambda s, ps: fused_convfeat_apply(s, ps, act, dt)
+            if remat:
+                # the stems run outside the rematted blocks; at nf=128
+                # 256² their stored activations are the largest single
+                # allocations in the G step (~0.8G each)
+                stem_fn = jax.checkpoint(stem_fn)
+            h = stem_fn(stacked, stem_params)
         else:
             assert pseudo_target is not None, (
                 "adaptive generator requires pseudo_target (G1's prediction)"
@@ -246,8 +252,16 @@ class NCSNppGenerator(nn.Module):
                 for i in range(len(conds))
             ]
             pgap = ConvBlockGAPParams(nf, zemb_dim=256, name="pseudo_gap")()
-            x_feat, feats, _pw = fused_adaptive_encode(
-                x, conds, pseudo_target.astype(dt), px, pcs, pgap, act, dt
+            enc_fn = lambda xa, ca, pt, a, b_, c: fused_adaptive_encode(
+                xa, ca, pt, a, b_, c, act, dt
+            )
+            if remat:
+                # the adaptive encode's concat/silu intermediates were
+                # the two largest allocations (0.8G each) in the nf=128
+                # G step
+                enc_fn = jax.checkpoint(enc_fn)
+            x_feat, feats, _pw = enc_fn(
+                x, conds, pseudo_target.astype(dt), px, pcs, pgap
             )
             allc = jnp.concatenate(feats, axis=-1)
 
@@ -264,23 +278,32 @@ class NCSNppGenerator(nn.Module):
                     Conv3x3Params(nf, allc.shape[-1], name=n)()
                     for n in gate_names
                 ]
-                a1_12, a2_12, a1_23, a2_23, a1_31, a2_31 = fused_gate_convs(
-                    allc, gp, dt
-                )
                 c1, c2, c3 = feats
                 wp = [
                     Conv3x3Params(nf, nf, name=f"feat_weight_c{i + 1}")()
                     for i in range(3)
                 ]
-                c1_att, c2_att, c3_att = fused_weight_convs(
-                    [a1_12 * c1, a1_23 * c2, a1_31 * c3], wp, dt
-                )
-                fused12 = a2_12 * c1_att + (1 - a2_12) * c2
-                fused23 = a2_23 * c2_att + (1 - a2_23) * c3
-                fused31 = a2_31 * c3_att + (1 - a2_31) * c1
-                h = jnp.concatenate(
-                    [x_feat, fused12, fused23, fused31], axis=-1
-                )
+
+                def fuse3(allc_a, c1_a, c2_a, c3_a, xf_a, gp_a, wp_a):
+                    (a1_12, a2_12, a1_23, a2_23, a1_31,
+                     a2_31) = fused_gate_convs(allc_a, gp_a, dt)
+                    c1_att, c2_att, c3_att = fused_weight_convs(
+                        [a1_12 * c1_a, a1_23 * c2_a, a1_31 * c3_a],
+                        wp_a, dt,
+                    )
+                    fused12 = a2_12 * c1_att + (1 - a2_12) * c2_a
+                    fused23 = a2_23 * c2_att + (1 - a2_23) * c3_a
+                    fused31 = a2_31 * c3_att + (1 - a2_31) * c1_a
+                    return jnp.concatenate(
+                        [xf_a, fused12, fused23, fused31], axis=-1
+                    )
+
+                if remat:
+                    # gates/fusion run at full resolution outside the
+                    # rematted blocks — their stored activations
+                    # dominated the nf=128 G-step HBM peak
+                    fuse3 = jax.checkpoint(fuse3)
+                h = fuse3(allc, c1, c2, c3, x_feat, gp, wp)
             else:
                 # single pairwise fusion (healthy reference :620-631,
                 # :749-759)
@@ -289,14 +312,19 @@ class NCSNppGenerator(nn.Module):
                     Conv3x3Params(nf, allc.shape[-1], name=n)()
                     for n in ("feat_att1_c12", "feat_att2_c12")
                 ]
-                a1_12, a2_12 = fused_gate_convs(allc, gp, dt)
-                (c1_att,) = fused_weight_convs(
-                    [a1_12 * c1],
-                    [Conv3x3Params(nf, nf, name="feat_weight_c1")()],
-                    dt,
-                )
-                fused12 = a2_12 * c1_att + (1 - a2_12) * c2
-                h = jnp.concatenate([x_feat, fused12], axis=-1)
+                wp1 = [Conv3x3Params(nf, nf, name="feat_weight_c1")()]
+
+                def fuse2(allc_a, c1_a, c2_a, xf_a, gp_a, wp_a):
+                    a1_12, a2_12 = fused_gate_convs(allc_a, gp_a, dt)
+                    (c1_att,) = fused_weight_convs(
+                        [a1_12 * c1_a], wp_a, dt
+                    )
+                    fused12 = a2_12 * c1_att + (1 - a2_12) * c2_a
+                    return jnp.concatenate([xf_a, fused12], axis=-1)
+
+                if remat:
+                    fuse2 = jax.checkpoint(fuse2)
+                h = fuse2(allc, c1, c2, x_feat, gp, wp1)
 
         # --- encoder ----------------------------------------------------
         hs = [h]
