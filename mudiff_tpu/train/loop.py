@@ -258,6 +258,12 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 timer.mark_step_done()
 
             # ---- per-epoch tail ---------------------------------------
+            # On an async runtime the loop above only *dispatches* the
+            # steps — block on the final state so epoch_time measures
+            # compute, not enqueue RPCs (28 ms/dispatch on the axon
+            # tunnel made nf=128 epochs "finish" in 10 s while the real
+            # work drained during the val fetches).
+            jax.block_until_ready(state.params_g1)
             epoch_time = time.time() - ep_start
             if ep_losses:
                 summary = {
