@@ -94,10 +94,14 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
     s = cfg.image_size
     value = None
     tried_ok = 0
+    tried_batches = set()
     for batch in batches:
         if tried_ok >= max_ok:
             break
         batch = -(-batch // n_dev) * n_dev  # multiple of the mesh size
+        if batch in tried_batches:
+            continue  # rounding up to the mesh collapses ladder entries
+        tried_batches.add(batch)
         try:
             c = jnp.zeros((batch, s, s, 1), jnp.float32)
             x_init = jax.random.normal(
@@ -124,7 +128,15 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
                 xi.block_until_ready()
             start = time.perf_counter()
             for i in range(iters):
-                out = sampler(pg1, pg2, c, c, c, inits[i],
+                # serialize iterations with a data dependency: on the
+                # axon runtime, dispatches whose outputs are never
+                # fetched can be elided, so an unchained loop with one
+                # final block_until_ready is not a valid timing fence
+                # (PERFORMANCE.md measurement-protocol section)
+                xi = inits[i]
+                if i > 0:
+                    xi = xi + (jnp.sum(out) * 0.0).astype(xi.dtype)
+                out = sampler(pg1, pg2, c, c, c, xi,
                               jax.random.PRNGKey(3 + i))
             out.block_until_ready()
             elapsed = time.perf_counter() - start
@@ -133,11 +145,15 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
         except Exception as e:  # OOM at this batch -> halve
             # The axon remote-compile service surfaces HBM OOM as an
             # HTTP 500 whose body says "Ran out of memory in memory
-            # space hbm ... Exceeded hbm capacity" — match
-            # case-insensitively over all the known spellings.
+            # space hbm ... Exceeded hbm capacity".  Match those
+            # spellings specifically — a bare "exceed"/"oom" substring
+            # also matches transient RPC errors ("deadline exceeded"),
+            # which must propagate, not silently shrink the batch.
             msg = str(e).lower()
-            if ("resource_exhausted" in msg or "out of memory" in msg
-                    or "exceed" in msg or "oom" in msg):
+            if ("resource_exhausted" in msg
+                    or "out of memory" in msg
+                    or ("exceed" in msg and ("hbm" in msg
+                                             or "memory" in msg))):
                 continue
             raise
     if value is None:

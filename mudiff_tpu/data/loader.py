@@ -119,7 +119,11 @@ class DeviceLoader:
         # spans non-addressable devices is wrong (and each host's array
         # differs); the correct primitive assembles the global array
         # from per-process shards.
-        global_shape = (self.batch_size,) + x.shape[1:]
+        # x.shape[0] is the LOCAL row count — for a partial final batch
+        # (drop_last=False without pad_last) it is smaller than
+        # batch_size/process_count, and claiming the full batch_size as
+        # the global shape would raise a mismatch mid-epoch.
+        global_shape = (x.shape[0] * self.process_count,) + x.shape[1:]
         return jax.make_array_from_process_local_data(
             self.sharding, x, global_shape
         )

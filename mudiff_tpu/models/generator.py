@@ -216,15 +216,30 @@ class NCSNppGenerator(nn.Module):
             names = ["encoder_x"] + [
                 f"encoder_c{i + 1}" for i in range(len(conds))
             ]
-            stem_params = [ConvFeatParams(nf, name=n)() for n in names]
-            stacked = jnp.concatenate([x] + conds, axis=-1)
-            stem_fn = lambda s, ps: fused_convfeat_apply(s, ps, act, dt)
-            if remat:
-                # the stems run outside the rematted blocks; at nf=128
-                # 256² their stored activations are the largest single
-                # allocations in the G step (~0.8G each)
-                stem_fn = jax.checkpoint(stem_fn)
-            h = stem_fn(stacked, stem_params)
+            if channels == 1:
+                stem_params = [ConvFeatParams(nf, name=n)() for n in names]
+                stacked = jnp.concatenate([x] + conds, axis=-1)
+                stem_fn = lambda s, ps: fused_convfeat_apply(s, ps, act, dt)
+                if remat:
+                    # the stems run outside the rematted blocks; at
+                    # nf=128 256² their stored activations are the
+                    # largest single allocations in the G step (~0.8G)
+                    stem_fn = jax.checkpoint(stem_fn)
+                h = stem_fn(stacked, stem_params)
+            else:
+                # the block-diagonal fusion assumes 1-channel stems;
+                # multi-channel configs use the per-stem modules (same
+                # param tree as ConvFeatParams mirrors — checkpoints
+                # are interchangeable at channels==1)
+                h = jnp.concatenate(
+                    [
+                        ConvFeatBlock(
+                            act=act, features=nf, dtype=dt, name=n
+                        )(img)
+                        for n, img in zip(names, [x] + conds)
+                    ],
+                    axis=-1,
+                )
         else:
             assert pseudo_target is not None, (
                 "adaptive generator requires pseudo_target (G1's prediction)"
@@ -246,23 +261,46 @@ class NCSNppGenerator(nn.Module):
             # All five Cin=1 stem convs + the four trunk-side second
             # convs run as fused block-diagonal convs (nn/fused_stems.py
             # — exact math, 2-40x faster on the MXU).
-            px = ConvFeatParams(nf, name="encoder_x")()
-            pcs = [
-                ConvBlockParams(nf, style_dim=256, name=f"encoder_c{i + 1}")()
-                for i in range(len(conds))
-            ]
-            pgap = ConvBlockGAPParams(nf, zemb_dim=256, name="pseudo_gap")()
-            enc_fn = lambda xa, ca, pt, a, b_, c: fused_adaptive_encode(
-                xa, ca, pt, a, b_, c, act, dt
-            )
-            if remat:
-                # the adaptive encode's concat/silu intermediates were
-                # the two largest allocations (0.8G each) in the nf=128
-                # G step
-                enc_fn = jax.checkpoint(enc_fn)
-            x_feat, feats, _pw = enc_fn(
-                x, conds, pseudo_target.astype(dt), px, pcs, pgap
-            )
+            if channels == 1:
+                px = ConvFeatParams(nf, name="encoder_x")()
+                pcs = [
+                    ConvBlockParams(
+                        nf, style_dim=256, name=f"encoder_c{i + 1}"
+                    )()
+                    for i in range(len(conds))
+                ]
+                pgap = ConvBlockGAPParams(nf, zemb_dim=256,
+                                          name="pseudo_gap")()
+                enc_fn = lambda xa, ca, pt, a, b_, c: fused_adaptive_encode(
+                    xa, ca, pt, a, b_, c, act, dt
+                )
+                if remat:
+                    # the adaptive encode's concat/silu intermediates
+                    # were the two largest allocations (0.8G each) in
+                    # the nf=128 G step
+                    enc_fn = jax.checkpoint(enc_fn)
+                x_feat, feats, _pw = enc_fn(
+                    x, conds, pseudo_target.astype(dt), px, pcs, pgap
+                )
+            else:
+                # the block-diagonal fusion assumes 1-channel stems;
+                # multi-channel configs use the per-stem modules (same
+                # param tree as the *Params mirrors).  The gates below
+                # consume nf-channel features and are unaffected.
+                style = ConvBlockGAP(
+                    act=act, features=nf, zemb_dim=256, dtype=dt,
+                    name="pseudo_gap",
+                )(pseudo_target.astype(dt))
+                x_feat = ConvFeatBlock(
+                    act=act, features=nf, dtype=dt, name="encoder_x"
+                )(x)
+                feats = [
+                    ConvBlock(
+                        act=act, features=nf, dtype=dt,
+                        name=f"encoder_c{i + 1}",
+                    )(c, style)
+                    for i, c in enumerate(conds)
+                ]
             allc = jnp.concatenate(feats, axis=-1)
 
             if self.num_conditions == 3:

@@ -53,7 +53,6 @@ Both carry a jax.custom_vjp with the XLA composition as backward
 from __future__ import annotations
 
 import functools
-import os
 from typing import Sequence, Union
 
 # interpret=True runs the kernels through the Pallas interpreter (used on
@@ -77,8 +76,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # note: `from mudiff_tpu.ops import upfirdn2d` would resolve to the
 # *function* re-exported by ops/__init__, not the module — import the
-# functions explicitly.  The backward calls use gain != 1, which the
-# pallas fast-path predicate rejects, so there is no recursion.
+# functions explicitly.  These backward calls always use the XLA
+# lowering (production routing to the Pallas kernels was removed after
+# the in-model A/B — PERFORMANCE.md), so there is no recursion.
 from mudiff_tpu.ops.upfirdn2d import downsample_2d as _xla_downsample_2d
 from mudiff_tpu.ops.upfirdn2d import upsample_2d as _xla_upsample_2d
 

@@ -251,3 +251,25 @@ def test_progressive_and_fourier_branches(progressive, progressive_input,
             f"progressive={progressive} input={progressive_input} "
             f"embedding={embedding}"
         )
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_multichannel_config_runs(adaptive):
+    """num_channels > 1 falls back from the 1-channel block-diagonal
+    fused stems to the per-stem mirror modules (same param tree)."""
+    from mudiff_tpu.config import brats_recipe
+
+    cfg = brats_recipe(
+        image_size=32, num_channels=3, num_channels_dae=16, ch_mult=(1, 2),
+        attn_resolutions=(8,), num_res_blocks=1, nz=8, ngf=8,
+        z_emb_dim=32, t_emb_dim=32, num_timesteps=2, use_bf16=False,
+    )
+    g = NCSNppGenerator(config=cfg, adaptive=adaptive)
+    x = jnp.zeros((2, 32, 32, 3))
+    t = jnp.zeros((2,), jnp.int32)
+    z = jnp.zeros((2, cfg.nz))
+    kw = dict(pseudo_target=x) if adaptive else {}
+    p = g.init(jax.random.PRNGKey(0), x, x, x, x, t, z, **kw)["params"]
+    out = g.apply({"params": p}, x, x, x, x, t, z, **kw)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

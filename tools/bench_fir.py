@@ -15,7 +15,6 @@ Run on the real chip: python tools/bench_fir.py [--batch 8] [--chain 30]
 """
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
@@ -23,37 +22,14 @@ import numpy as np
 
 import importlib
 
+from tools._bench_util import chain_time
+
 # mudiff_tpu.ops re-exports the upfirdn2d *function*, shadowing the
 # module attribute — resolve the modules explicitly.
 fir_xla = importlib.import_module("mudiff_tpu.ops.upfirdn2d")
 pallas_fir = importlib.import_module("mudiff_tpu.ops.pallas_fir")
 
 FIR_K = [1.0, 3.0, 3.0, 1.0]
-
-
-def chain_time(fn, x0, n):
-    """Run fn n times serialized by a data dependency; return ms/iter."""
-
-    def chained(x, steps):
-        def body(carry, _):
-            out = fn(carry)
-            s = (jnp.sum(out.astype(jnp.float32)) * 1e-24).astype(carry.dtype)
-            return carry + s, ()
-
-        x, _ = jax.lax.scan(body, x, (), length=steps)
-        return jnp.sum(x.astype(jnp.float32))
-
-    jit0 = jax.jit(lambda x: chained(x, 0))
-    jitn = jax.jit(lambda x: chained(x, n))
-    float(jit0(x0))
-    float(jitn(x0))  # compile + warm
-    t0 = time.perf_counter()
-    base = float(jit0(x0))
-    t_overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(jitn(x0 + jnp.asarray(base * 0).astype(x0.dtype)))
-    t_total = time.perf_counter() - t0
-    return max(t_total - t_overhead, 0.0) / n * 1e3
 
 
 def main():

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tools._bench_util import chain_time
+
 S = 256
 NF = 64
 N_STEM = 4
@@ -53,33 +55,6 @@ def block_diag_kernel(ks):
     for i, k in enumerate(ks):
         out = out.at[:, :, i, i * NF:(i + 1) * NF].set(k[:, :, 0, :])
     return out
-
-
-def chain_time(fn, x0, n, label=""):
-    """Run fn n times serialized by a data dependency; return ms/iter."""
-
-    def chained(x, steps):
-        def body(carry, _):
-            out = fn(carry)
-            # fold a (tiny) function of the output back into the input:
-            # serializes iterations and defeats execution dedup/elision
-            s = (jnp.sum(out.astype(jnp.float32)) * 1e-24).astype(carry.dtype)
-            return carry + s, ()
-
-        x, _ = jax.lax.scan(body, x, (), length=steps)
-        return jnp.sum(x.astype(jnp.float32))
-
-    jit0 = jax.jit(lambda x: chained(x, 0))
-    jitn = jax.jit(lambda x: chained(x, n))
-    float(jit0(x0))
-    float(jitn(x0))  # compile + warm
-    t0 = time.perf_counter()
-    base = float(jit0(x0))
-    t_overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(jitn(x0 + jnp.asarray(base * 0).astype(x0.dtype)))
-    t_total = time.perf_counter() - t0
-    return max(t_total - t_overhead, 0.0) / n * 1e3
 
 
 def main():
@@ -156,7 +131,7 @@ def main():
 
     results = {}
     for name, (fn, x0) in variants.items():
-        ms = chain_time(fn, x0, args.chain, name)
+        ms = chain_time(fn, x0, args.chain)
         results[name] = ms
         print(f"{name:12s} {ms:8.3f} ms/iter", flush=True)
     print("\nspeedups vs sep4 (conv1 only):")
