@@ -132,13 +132,19 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
                 # axon runtime, dispatches whose outputs are never
                 # fetched can be elided, so an unchained loop with one
                 # final block_until_ready is not a valid timing fence
-                # (PERFORMANCE.md measurement-protocol section)
+                # (PERFORMANCE.md measurement-protocol section).  The
+                # link multiplier is 1e-24, not 0.0 — a *0.0 link is
+                # algebraically removable by XLA's simplifier, which
+                # would break the chain (tools/_bench_util.chain_time
+                # uses the same constant for the same reason).
                 xi = inits[i]
                 if i > 0:
-                    xi = xi + (jnp.sum(out) * 0.0).astype(xi.dtype)
+                    xi = xi + (jnp.sum(out) * 1e-24).astype(xi.dtype)
                 out = sampler(pg1, pg2, c, c, c, xi,
                               jax.random.PRNGKey(3 + i))
-            out.block_until_ready()
+            # fetch a scalar — block_until_ready alone is not a valid
+            # fence for the final execution either
+            float(jnp.sum(out))
             elapsed = time.perf_counter() - start
             value = max(value or 0.0, batch * iters / elapsed)
             tried_ok += 1
@@ -187,6 +193,12 @@ def main() -> None:
         "value": round(per_chip, 3),
         "unit": "slices/sec/chip",
         "vs_baseline": round(per_chip / baseline_slices_per_sec, 3),
+        "baseline_note": (
+            "6.0 slices/s = reference per-GPU TRAINING rate on a "
+            "host-data-bound A100 (the only measured throughput in its "
+            "logs; no clean reference inference number exists — "
+            "BASELINE.md)"
+        ),
         "devices": n_dev,
         "nf": args.nf,
     }))

@@ -67,9 +67,14 @@ def _slice_bounds(depth: int, half_range: int) -> Tuple[int, int]:
 def _bilinear_resize(img: np.ndarray, size: int) -> np.ndarray:
     if img.shape == (size, size):
         return img.astype(np.float32)
+    # antialias=False: the reference's F.interpolate(mode='bilinear',
+    # align_corners=False) never low-pass-filters on downsampling
+    # (engine/test_volume.py:275); jax's default antialias=True diverges
+    # by up to ~0.2 on downsampled slices (tests/test_volume_parity.py).
     return np.asarray(
         jax.image.resize(
-            jnp.asarray(img, jnp.float32), (size, size), method="bilinear"
+            jnp.asarray(img, jnp.float32), (size, size), method="bilinear",
+            antialias=False,
         )
     )
 
@@ -86,7 +91,8 @@ def reconstruct_volume_from_slices(
         if sl.shape != ref_shape[:2]:
             sl = np.asarray(
                 jax.image.resize(
-                    jnp.asarray(sl), tuple(ref_shape[:2]), method="bilinear"
+                    jnp.asarray(sl), tuple(ref_shape[:2]), method="bilinear",
+                    antialias=False,
                 )
             )
         vol[:, :, z] = sl

@@ -71,7 +71,11 @@ def _features(params: Dict, x: jnp.ndarray):
 
 
 def _unit_normalize(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
-    return x * jax.lax.rsqrt(jnp.sum(x ** 2, axis=-1, keepdims=True) + eps)
+    # Exact lpips normalize_tensor formula: eps is added to the NORM,
+    # not under the sqrt (lpips/__init__.py normalize_tensor).  The
+    # placement only matters for near-zero feature-norm pixels, but it
+    # is what "values match the reference metric" requires.
+    return x / (jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True)) + eps)
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -118,6 +122,10 @@ def load_torch_weights(
     or one combined ``lpips.LPIPS`` state dict (``net.sliceN.M.weight`` +
     ``linN.model.1.weight``).
     """
+    # torch + jax in one process deadlock via OpenMP unless the thread
+    # pool is bounded (CLAUDE.md); this path is reached from live-JAX
+    # CLI processes when MUDIFF_LPIPS_ALEXNET is set.
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     import torch
 
     sd = torch.load(alexnet_path, map_location="cpu", weights_only=True)

@@ -58,7 +58,8 @@ def _torch_lpips_reference(sd_alex, sd_lin, g, p):
         return taps
 
     def unit(x):
-        return x / torch.sqrt((x ** 2).sum(1, keepdim=True) + 1e-10)
+        # lpips's exact normalize_tensor: eps added to the norm factor
+        return x / (torch.sqrt((x ** 2).sum(1, keepdim=True)) + 1e-10)
 
     def to3(a):
         t = torch.from_numpy(a).unsqueeze(0).repeat(3, 1, 1).unsqueeze(0)

@@ -58,7 +58,6 @@ def test_train_step_runs_and_updates(setup):
     state2, metrics = step(state, batch, jax.random.PRNGKey(1), with_r1=True)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"{k} not finite"
-    assert metrics["R1"] >= 0.0
     assert int(state2.step) == 1
     assert tree_l1(d_before, state2.params_d) > 0.0
     assert tree_l1(g_before, state2.params_g1) > 0.0
@@ -66,6 +65,66 @@ def test_train_step_runs_and_updates(setup):
     np.testing.assert_array_equal(
         np.asarray(state.att_conv["w"]), np.asarray(state2.att_conv["w"])
     )
+
+
+def _perturb(params, key, scale=0.05):
+    """Add noise to every leaf so the zero-init critic head stops making
+    D(x) identically 0 (and hence grad_x D identically 0)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            leaf + scale * jax.random.normal(k, leaf.shape, leaf.dtype)
+            for leaf, k in zip(leaves, keys)
+        ],
+    )
+
+
+def test_r1_penalty_fires():
+    """The lazy-R1 grad-of-grad path must actually contribute, not be a
+    silent zero: at init the zero-init critic head makes D(x) == 0 and
+    grad_x D == 0, so the old `R1 >= 0` assertion could not distinguish a
+    working penalty from a broken one (round-2 verdict weak #3; reference
+    engine/train.py:821-833)."""
+    from mudiff_tpu.diffusion import DiffusionCoefficients, PosteriorCoefficients
+    from mudiff_tpu.train.steps import make_d_step
+
+    state, g1, g2, d = create_train_state(
+        TINY, jax.random.PRNGKey(0), steps_per_epoch=10
+    )
+    # perturb the critic away from the D(x) == 0 fixed point (a large
+    # scale: the skip-rescaled zero-init block outputs attenuate small
+    # perturbations to ~1e-9-sized gradients)
+    state = state.replace(
+        params_d=_perturb(state.params_d, jax.random.PRNGKey(7), scale=0.3)
+    )
+    coeff = DiffusionCoefficients.from_config(TINY)
+    pos = PosteriorCoefficients.from_config(TINY)
+    batch = _batch()
+    key = jax.random.PRNGKey(1)
+
+    d_step = make_d_step(TINY, g1.apply, g2.apply, d.apply, coeff, pos)
+    state_on, metrics = d_step(state, batch, key, with_r1=True)
+    # the penalty itself is strictly positive once D is off the fixed point
+    assert float(metrics["R1"]) > 0.0, float(metrics["R1"])
+
+    # and it reaches the D-param update: zeroing r1_gamma (same state,
+    # batch, key, and with_r1=True so the graph differs only by the
+    # penalty term) must produce different post-step critic params
+    d_step0 = make_d_step(
+        TINY.replace(r1_gamma=0.0), g1.apply, g2.apply, d.apply, coeff, pos
+    )
+    state_off, metrics0 = d_step0(state, batch, key, with_r1=True)
+    assert float(metrics0["R1"]) == 0.0
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state_on.params_d),
+            jax.tree_util.tree_leaves(state_off.params_d),
+        )
+    ]
+    assert max(diffs) > 0.0, "R1 penalty did not reach the D-param grads"
 
 
 def test_train_step_without_r1(setup):
