@@ -117,8 +117,18 @@ def block_diag_conv2(kernels: Sequence[jnp.ndarray]) -> jnp.ndarray:
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
           dtype) -> jnp.ndarray:
     """Match flax nn.Conv numerics: promote to compute dtype, SAME-pad
-    3x3, add bias in compute dtype."""
+    3x3, add bias in compute dtype.  Routes through the implicit-GEMM
+    Pallas kernel when MUDIFF_GEMM_CONV=1 and the conv is wide enough
+    to pack the MXU (covers the G2 cyclic-fusion gates, ~2.8 TFLOP of
+    the forward)."""
+    from mudiff_tpu.ops.pallas_conv import conv3x3_gemm, gemm_conv_enabled
+
     x = x.astype(dtype)
+    if (gemm_conv_enabled() and x.shape[-1] >= 32
+            and kernel.shape[-1] >= 32):
+        # kernel adds fp32 bias to the fp32 accumulator (tighter than
+        # nn.Conv's compute-dtype add; within bf16 tolerance)
+        return conv3x3_gemm(x, kernel.astype(dtype), bias)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

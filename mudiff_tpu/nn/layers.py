@@ -37,6 +37,38 @@ def get_act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     raise NotImplementedError(f"activation {name} does not exist")
 
 
+class _GemmConv(nn.Module):
+    """Param-tree-identical stand-in for the inner nn.Conv of Conv3x3
+    that routes through the implicit-GEMM Pallas kernel
+    (ops/pallas_conv.py).  Same param names ("kernel"/"bias"), shapes,
+    inits and dtypes as nn.Conv, so checkpoints and the pinned parity
+    tests are oblivious to the routing."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mudiff_tpu.ops.pallas_conv import conv3x3_gemm
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias else None
+        )
+        return conv3x3_gemm(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias
+        )
+
+
 class Conv3x3(nn.Module):
     """3x3 conv with DDPM init (reference layers.py:122-128)."""
 
@@ -50,6 +82,25 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mudiff_tpu.ops.pallas_conv import gemm_conv_enabled
+
+        if (
+            gemm_conv_enabled()
+            and self.stride == 1
+            and self.dilation == 1
+            and self.padding == 1
+            # the GEMM fold only packs the MXU when 3*C is wide enough;
+            # narrow convs (stems Cin=1, final Cout=1) stay on XLA
+            and x.shape[-1] >= 32
+            and self.features >= 32
+        ):
+            return _GemmConv(
+                features=self.features,
+                use_bias=self.use_bias,
+                kernel_init=default_init(self.init_scale),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]

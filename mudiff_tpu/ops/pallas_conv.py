@@ -1,0 +1,262 @@
+"""Implicit-GEMM 3x3 convolution as a Pallas TPU (Mosaic) kernel.
+
+Role: the hand-written conv kernel of the rebuild (the counterpart of
+the reference's CUDA kernels, utils/op/upfirdn2d_kernel.cu:252-292 —
+here targeting the *dominant* compute of the model instead of the FIR
+resampling).  The round-2 HLO census (PERFORMANCE.md) localized the MFU
+gap to ~50% MXU packing on the 3x3 stride-1 convs (14x 3x3@64^2*C256,
+10x @256^2*C64, 10x @128^2*C128, ~155 GFLOP each); this kernel
+reformulates those convs as one large well-packed GEMM per row band.
+
+Math (stride 1, SAME pad 1, NHWC):
+
+    out[n,h,w,ko] = sum_{dy,dx,ci} x[n,h+dy-1,w+dx-1,ci] * W[dy,dx,ci,ko]
+
+GEMM fold: the three ROW taps ride the contraction dim and the three
+COLUMN taps ride the output dim —
+
+    P[(j,w), dy*C+ci]   = xpad[h0+j+dy, w, ci]          (row-band patch)
+    W2[dy*C+ci, dx*K+ko] = W[dy,dx,ci,ko]
+    Y = P @ W2                                          (one MXU GEMM)
+    out[j,w,ko] = Y[(j,w), 0:K] + Y[(j,w+1), K:2K] + Y[(j,w+2), 2K:3K]
+
+so the contraction depth is 3*Cin and the output width 3*Cout: for the
+C=128/C=256 groups both are exact multiples of the 128-wide MXU (100%
+packing; XLA's conv emitter measures ~50% there), and for C=64 the
+192-wide dims pack at 56% — every computed product is a needed product
+(no im2col duplication along the contraction like classic im2col-GEMM).
+
+Mosaic-compatibility design (lessons from ops/pallas_fir.py):
+
+* NO manual DMA: overlapping row bands (halo 2) are pre-gathered by XLA
+  outside the kernel (the proven `_row_tiles` pattern), costing one
+  HBM re-read of x per +2/TH duplication — negligible for these
+  compute-bound shapes (conv arithmetic intensity ~290 FLOP/byte).
+* Reshapes only merge leading dims on tile boundaries: the padded width
+  Wp is rounded to the sublane tile (16 for bf16), so
+  (rows, Wp, C) -> (rows*Wp, C) is layout-preserving.
+* All ref reads/writes use static or fori-loop row offsets; lane-offset
+  slices (the dx*K output sections) are values, not refs.
+
+Backward: jax.custom_vjp with XLA convs (data grad = conv with the
+spatially-flipped io-transposed kernel; weight grad = batch-contraction
+conv), so the op is trainable.  Routing: nn/layers.py Conv3x3 swaps its
+inner nn.Conv for this op when MUDIFF_GEMM_CONV=1 with an IDENTICAL
+parameter tree (same init, names, shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = None  # resolved lazily per backend
+
+
+def _interpret_mode() -> bool:
+    global _INTERPRET
+    if _INTERPRET is None:
+        _INTERPRET = jax.default_backend() == "cpu"
+    return _INTERPRET
+
+
+def gemm_conv_enabled() -> bool:
+    """Production routing flag for nn/layers.py (env-driven so bench.py
+    can A/B the full model without code changes)."""
+    return os.environ.get("MUDIFF_GEMM_CONV", "0") == "1"
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
+               itemsize: int, limit: int = 32,
+               budget: int = 11 * 2 ** 20) -> int:
+    """Largest divisor of h <= limit whose VMEM working set fits.
+
+    Working set: double-buffered input band + output band, the folded
+    weights, and the per-iteration GEMM transients (P bf16 + Y fp32)."""
+
+    def est(th: int) -> int:
+        rows = _pick_rows(th, wp)
+        return (
+            2 * (th + 2) * wp * cin * itemsize       # input band x2
+            + 2 * th * wd * cout * itemsize          # output band x2
+            + 9 * cin * cout * itemsize              # folded weights
+            + rows * wp * 3 * cin * itemsize         # P
+            + 2 * rows * wp * 3 * cout * 4           # Y fp32 (+relayout)
+        )
+
+    th = min(h, limit)
+    while h % th:
+        th -= 1
+    while th > 1 and est(th) > budget:
+        th -= 1
+        while h % th:
+            th -= 1
+    return th
+
+
+def _pick_rows(th: int, wp: int, target: int = 512) -> int:
+    """Rows per GEMM iteration: divisor of th giving M = rows*wp near
+    ``target`` (amortizes the MXU pipeline fill)."""
+    best = 1
+    for rows in range(1, th + 1):
+        if th % rows:
+            continue
+        if rows * wp <= 2 * target:
+            best = rows
+    return best
+
+
+def _conv_kernel(x_ref, w2_ref, b_ref, o_ref, *, th, w_out, wp, cin,
+                 cout, rows):
+    """One (batch, row-band) program.
+
+    x_ref: (1, 1, th+2, wp, cin) padded input band
+    w2_ref: (3*cin, 3*cout) folded weights; b_ref: (1, cout) fp32 bias
+    o_ref: (1, 1, th, w_out, cout)
+    """
+
+    def body(i, _):
+        h0 = i * rows
+        parts = []
+        for dy in range(3):
+            xs = x_ref[0, 0, pl.ds(h0 + dy, rows), :, :]  # (rows, wp, cin)
+            parts.append(xs.reshape(rows * wp, cin))
+        p = jnp.concatenate(parts, axis=-1)  # (rows*wp, 3*cin)
+        y = jnp.dot(p, w2_ref[:], preferred_element_type=jnp.float32)
+        y3 = y.reshape(rows, wp, 3 * cout)
+        out = (
+            y3[:, 0:w_out, 0:cout]
+            + y3[:, 1:w_out + 1, cout:2 * cout]
+            + y3[:, 2:w_out + 2, 2 * cout:3 * cout]
+        ) + b_ref[0]
+        o_ref[0, 0, pl.ds(h0, rows), :, :] = out.astype(o_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, th // rows, body, 0)
+
+
+def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
+                    bias: jnp.ndarray) -> jnp.ndarray:
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    wp = _round_up(wd + 2, sub)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    th = _pick_band(h, wd, wp, cin, cout, itemsize)
+    r = h // th
+    rows = _pick_rows(th, wp)
+
+    # pad: +1 halo rows top/bottom; columns to Wp (left halo 1, the rest
+    # zero fill whose junk outputs are sliced away by the w_out slice)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, 0)))
+    if r == 1:
+        xt = xp[:, None]
+    else:
+        xt = jnp.stack(
+            [xp[:, i * th:i * th + th + 2] for i in range(r)], axis=1
+        )  # (n, r, th+2, wp, cin)
+
+    w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * cin, 3 * cout)
+    w2 = w2.astype(x.dtype)
+    b2 = bias.reshape(1, cout).astype(jnp.float32)
+
+    out5 = pl.pallas_call(
+        functools.partial(
+            _conv_kernel, th=th, w_out=wd, wp=wp, cin=cin, cout=cout,
+            rows=rows,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, r, th, wd, cout), x.dtype),
+        grid=(n, r),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, th + 2, wp, cin),
+                lambda bi, ri: (bi, ri, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3 * cin, 3 * cout), lambda bi, ri: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, cout), lambda bi, ri: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, th, wd, cout), lambda bi, ri: (bi, ri, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=_interpret_mode(),
+    )(xt, w2, b2)
+    return out5.reshape(n, h, wd, cout)
+
+
+def conv3x3_xla(x: jnp.ndarray, w: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Reference XLA lowering of the same op (testing / backward)."""
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+@jax.custom_vjp
+def _conv3x3_gemm(x, w, bias):
+    return _conv3x3_pallas(x, w, bias)
+
+
+def _fwd(x, w, bias):
+    return _conv3x3_pallas(x, w, bias), (x, w)
+
+
+def _bwd(res, g):
+    x, w = res
+    # data grad: conv of g with the spatially-flipped, io-transposed
+    # kernel (the standard transposed-conv identity)
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = conv3x3_xla(g, w_flip).astype(x.dtype)
+    # weight grad: batch-contraction conv — out[ci,dy,dx,ko] =
+    # sum_{n,h,w} xpad[n,h+dy,w+dx,ci] * g[n,h,w,ko]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = lax.conv_general_dilated(
+        jnp.transpose(xp, (3, 1, 2, 0)),
+        jnp.transpose(g, (1, 2, 0, 3)),
+        (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    dw = jnp.transpose(dw, (1, 2, 0, 3)).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(w.dtype)
+    return dx, dw, db
+
+
+_conv3x3_gemm.defvjp(_fwd, _bwd)
+
+
+def conv3x3_gemm(x: jnp.ndarray, w: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """3x3 stride-1 SAME conv, NHWC, via the implicit-GEMM kernel.
+
+    x: (N, H, W, Cin); w: (3, 3, Cin, Cout); bias: (Cout,) or None.
+    Accumulates fp32, returns x.dtype.  Differentiable (custom VJP).
+    """
+    if w.shape[:2] != (3, 3) or w.shape[2] != x.shape[-1]:
+        raise ValueError(f"need (3,3,{x.shape[-1]},K) kernel, got {w.shape}")
+    if bias is None:
+        bias = jnp.zeros((w.shape[-1],), jnp.float32)
+    return _conv3x3_gemm(x, w, bias)
