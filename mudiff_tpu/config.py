@@ -81,6 +81,11 @@ class MuDiffConfig:
     # (engine/train.py:1006 vs :1409) — kept for flag parity.
     lambda_adv: float = 1.0
     use_grad_checkpoint: bool = False
+    # remat scope when use_grad_checkpoint: "blocks" (every block; max
+    # saving) or "hires" (only resolution >= image_size/2 blocks + the
+    # full-res stem/fusion regions; most of the memory saving at a
+    # fraction of the recompute — PERFORMANCE.md remat table)
+    grad_checkpoint_policy: str = "blocks"
     use_bf16: bool = True          # TPU-native default: bf16 compute, no loss scaler
     resume: bool = False
     pretrained_dir: Optional[str] = None

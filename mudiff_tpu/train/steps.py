@@ -175,10 +175,16 @@ def make_g_step(
     # jax.checkpoint cannot (its backward recompute re-materializes the
     # whole forward at once; measured 23.4G vs 15.75G HBM at nf=128
     # 256² b=4).  Here only the critic forwards get the outer wrap —
-    # their activations are also live through the G backward.
+    # their activations are also live through the G backward.  The
+    # "hires" policy skips the critic wrap: the critic downsamples
+    # immediately, so its stored activations are modest while its
+    # recompute is a full extra forward.
+    critic_remat = (
+        config.use_grad_checkpoint
+        and getattr(config, "grad_checkpoint_policy", "blocks") == "blocks"
+    )
     maybe_remat = (
-        (lambda f: jax.checkpoint(f)) if config.use_grad_checkpoint
-        else (lambda f: f)
+        (lambda f: jax.checkpoint(f)) if critic_remat else (lambda f: f)
     )
     d_fwd = maybe_remat(
         lambda pd, xp, t, xt: d_apply({"params": pd}, xp, t, xt)

@@ -29,11 +29,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="activation checkpointing (use_grad_checkpoint)")
+    ap.add_argument("--remat_policy", default="blocks",
+                    choices=["blocks", "hires"],
+                    help="remat scope (see config.grad_checkpoint_policy)")
     args = ap.parse_args()
 
     cfg = brats_recipe(
         num_channels_dae=args.nf, image_size=256, use_bf16=True,
         lazy_reg=16, use_grad_checkpoint=args.remat,
+        grad_checkpoint_policy=args.remat_policy,
     )
     batch = args.batch
     state, g1, g2, d = create_train_state(
@@ -59,9 +63,18 @@ def main() -> None:
         state, m = step(
             state, batch_data, jax.random.PRNGKey(3 + i), with_r1=with_r1
         )
-    jax.block_until_ready(m["G_total"])
+    # iterations are serialized by the state dependency; fetching the
+    # final scalar (not just block_until_ready) is the valid fence on
+    # this runtime (PERFORMANCE.md measurement protocol)
+    float(m["G_total"])
     dt = time.perf_counter() - t0
     sps = batch * iters / dt
+    mem = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        mem = round(stats.get("peak_bytes_in_use", 0) / 2 ** 30, 2)
+    except Exception:
+        pass
     print(json.dumps({
         "metric": f"train_step_throughput_256_nf{args.nf}",
         "value": round(sps, 3),
@@ -69,6 +82,9 @@ def main() -> None:
         "vs_baseline": round(sps / 6.0, 3),
         "batch": batch,
         "ms_per_iter": round(dt / iters * 1e3, 1),
+        "remat": args.remat,
+        "remat_policy": args.remat_policy if args.remat else None,
+        "peak_hbm_gib": mem,
     }))
 
 
