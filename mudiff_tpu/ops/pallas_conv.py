@@ -28,10 +28,12 @@ packing; XLA's conv emitter measures ~50% there), and for C=64 the
 
 Mosaic-compatibility design (lessons from ops/pallas_fir.py):
 
-* NO manual DMA: overlapping row bands (halo 2) are pre-gathered by XLA
-  outside the kernel (the proven `_row_tiles` pattern), costing one
-  HBM re-read of x per +2/TH duplication — negligible for these
-  compute-bound shapes (conv arithmetic intensity ~290 FLOP/byte).
+* NO manual DMA and NO overlapping-band materialization (the round-2
+  FIR kernel lost in-model to exactly that HBM round-trip): the padded
+  input is blocked into NON-overlapping th-row bands by a plain
+  BlockSpec, and the 2 halo rows each band needs from below arrive via
+  a second, tiny input (B, R, 2, Wp, C) built from two strided slices
+  (2R rows total).  The kernel stitches band+halo into a VMEM scratch.
 * Reshapes only merge leading dims on tile boundaries: the padded width
   Wp is rounded to the sublane tile (16 for bf16), so
   (rows, Wp, C) -> (rows*Wp, C) is layout-preserving.
@@ -89,7 +91,8 @@ def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
     def est(th: int) -> int:
         rows = _pick_rows(th, wp)
         return (
-            2 * (th + 2) * wp * cin * itemsize       # input band x2
+            2 * th * wp * cin * itemsize             # input band x2
+            + (th + 2) * wp * cin * itemsize         # stitch scratch
             + 2 * th * wd * cout * itemsize          # output band x2
             + 9 * cin * cout * itemsize              # folded weights
             + rows * wp * 3 * cin * itemsize         # P
@@ -118,20 +121,25 @@ def _pick_rows(th: int, wp: int, target: int = 512) -> int:
     return best
 
 
-def _conv_kernel(x_ref, w2_ref, b_ref, o_ref, *, th, w_out, wp, cin,
-                 cout, rows):
+def _conv_kernel(x_ref, halo_ref, w2_ref, b_ref, o_ref, band_ref, *, th,
+                 w_out, wp, cin, cout, rows):
     """One (batch, row-band) program.
 
-    x_ref: (1, 1, th+2, wp, cin) padded input band
+    x_ref: (1, th, wp, cin) main band (non-overlapping partition of the
+        padded input rows [r*th, (r+1)*th))
+    halo_ref: (1, 1, 2, wp, cin) the band's two below-halo rows
     w2_ref: (3*cin, 3*cout) folded weights; b_ref: (1, cout) fp32 bias
     o_ref: (1, 1, th, w_out, cout)
+    band_ref: VMEM scratch (th+2, wp, cin) — band + halo stitched
     """
+    band_ref[0:th] = x_ref[0]
+    band_ref[th:th + 2] = halo_ref[0, 0]
 
     def body(i, _):
         h0 = i * rows
         parts = []
         for dy in range(3):
-            xs = x_ref[0, 0, pl.ds(h0 + dy, rows), :, :]  # (rows, wp, cin)
+            xs = band_ref[pl.ds(h0 + dy, rows), :, :]  # (rows, wp, cin)
             parts.append(xs.reshape(rows * wp, cin))
         p = jnp.concatenate(parts, axis=-1)  # (rows*wp, 3*cin)
         y = jnp.dot(p, w2_ref[:], preferred_element_type=jnp.float32)
@@ -161,12 +169,13 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
     # pad: +1 halo rows top/bottom; columns to Wp (left halo 1, the rest
     # zero fill whose junk outputs are sliced away by the w_out slice)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, 0)))
-    if r == 1:
-        xt = xp[:, None]
-    else:
-        xt = jnp.stack(
-            [xp[:, i * th:i * th + th + 2] for i in range(r)], axis=1
-        )  # (n, r, th+2, wp, cin)
+    # below-halo rows of each band: rows (r+1)*th and (r+1)*th+1 of xp —
+    # 2R rows total, built from two strided slices (negligible HBM; the
+    # main bands are read straight from xp by the BlockSpec, with NO
+    # overlapping-band materialization)
+    h0s = xp[:, th::th][:, :r]
+    h1s = xp[:, th + 1::th][:, :r]
+    halo = jnp.stack([h0s, h1s], axis=2)  # (n, r, 2, wp, cin)
 
     w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * cin, 3 * cout)
     w2 = w2.astype(x.dtype)
@@ -181,8 +190,11 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
         grid=(n, r),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, th + 2, wp, cin),
-                lambda bi, ri: (bi, ri, 0, 0, 0),
+                (1, th, wp, cin), lambda bi, ri: (bi, ri, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 2, wp, cin), lambda bi, ri: (bi, ri, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -198,8 +210,11 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
             (1, 1, th, wd, cout), lambda bi, ri: (bi, ri, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, wp, cin), x.dtype),
+        ],
         interpret=_interpret_mode(),
-    )(xt, w2, b2)
+    )(xp, halo, w2, b2)
     return out5.reshape(n, h, wd, cout)
 
 

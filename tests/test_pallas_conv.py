@@ -82,6 +82,32 @@ def test_jit_and_vmap_compose():
     )
 
 
+def test_routed_train_step_smoke(monkeypatch):
+    """The routed kernel must compose with jax.grad, nn.remat and the
+    full adversarial train step (custom-VJP under checkpointing)."""
+    from mudiff_tpu.config import MuDiffConfig
+    from mudiff_tpu.train import create_train_state, make_train_step
+
+    monkeypatch.setenv("MUDIFF_GEMM_CONV", "1")
+    cfg = MuDiffConfig(
+        image_size=16, num_channels=1, num_channels_dae=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), z_emb_dim=32, t_emb_dim=32,
+        nz=8, ngf=8, num_timesteps=4, use_bf16=False,
+        use_grad_checkpoint=True,
+    )
+    state, g1, g2, d = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=4
+    )
+    step = make_train_step(cfg, g1.apply, g2.apply, d.apply)
+    rng = np.random.RandomState(0)
+    mk = lambda: jnp.asarray(rng.randn(2, 16, 16, 1).astype(np.float32))
+    state2, m = step(
+        state, (mk(), mk(), mk(), mk()), jax.random.PRNGKey(1), with_r1=True
+    )
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_model_routing_identical_params_and_outputs(monkeypatch):
     """MUDIFF_GEMM_CONV=1 must keep the generator's param tree
     byte-identical (checkpoint compatibility) and its outputs equal to
