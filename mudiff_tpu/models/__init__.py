@@ -1,5 +1,6 @@
 from mudiff_tpu.models.generator import NCSNppGenerator  # noqa: F401
 from mudiff_tpu.models.critic import (  # noqa: F401
+    DiscriminatorImgLarge,
     DiscriminatorLarge,
     DiscriminatorSmall,
 )

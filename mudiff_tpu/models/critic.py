@@ -157,6 +157,52 @@ class DiscriminatorLarge(nn.Module):
         return out.reshape(-1).astype(jnp.float32), mid_feat
 
 
+class DiscriminatorImgLarge(nn.Module):
+    """Image-only large critic (reference discriminator.py:266-349);
+    returns only the logit (no mid_feat tap).  Dead code in the
+    reference — and in fact broken there: its ``start_conv`` is built
+    for ``nc`` input channels (:281) while forward feeds it
+    ``cat(x, x_t)`` = 2*nc channels (:312-315), so the torch module
+    crashes on first call.  Implemented here with the evident intent
+    (channel-inferred start conv), so the capability actually works;
+    the parameter count is pinned against the torch constructor in
+    tests/test_models.py."""
+
+    ngf: int = 32
+    t_emb_dim: int = 128
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, t: jnp.ndarray, x_t: jnp.ndarray
+    ) -> jnp.ndarray:
+        dt = self.dtype
+        ngf = self.ngf
+        t_embed = _lrelu(
+            TimestepEmbedding(
+                self.t_emb_dim, self.t_emb_dim, self.t_emb_dim, dtype=dt,
+                name="t_embed",
+            )(t)
+        )
+        h = jnp.concatenate([x.astype(dt), x_t.astype(dt)], axis=-1)
+        h = StyleConv2d(
+            ngf * 2, kernel_size=(1, 1), padding=0, dtype=dt, name="start_conv"
+        )(h)
+        for i, feats in enumerate(
+            (ngf * 4, ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 8)
+        ):
+            h = DownConvBlock(
+                feats, downsample=True, dtype=dt, name=f"conv{i + 1}"
+            )(h, t_embed)
+        h = _minibatch_stddev(h)
+        h = StyleConv2d(ngf * 8, dtype=dt, name="final_conv")(h)
+        h = _lrelu(h)
+        h = jnp.sum(h, axis=(1, 2))
+        out = Dense(1, dtype=dt, name="end_linear")(h)
+        return out.reshape(-1).astype(jnp.float32)
+
+
 class DiscriminatorSmall(nn.Module):
     """CIFAR-scale critic (reference discriminator.py:101-172); returns
     only the logit.  Unused by the shipped recipe; kept for capability

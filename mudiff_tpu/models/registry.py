@@ -25,7 +25,11 @@ def get_model(name: str):
 
 
 def _register_builtins() -> None:
-    from mudiff_tpu.models.critic import DiscriminatorLarge, DiscriminatorSmall
+    from mudiff_tpu.models.critic import (
+        DiscriminatorImgLarge,
+        DiscriminatorLarge,
+        DiscriminatorSmall,
+    )
     from mudiff_tpu.models.generator import NCSNppGenerator
 
     if "ncsnpp" not in _MODELS:
@@ -35,6 +39,7 @@ def _register_builtins() -> None:
         )
         _MODELS["discriminator_large"] = DiscriminatorLarge
         _MODELS["discriminator_small"] = DiscriminatorSmall
+        _MODELS["discriminator_img_large"] = DiscriminatorImgLarge
 
 
 _register_builtins()

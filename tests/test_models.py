@@ -177,6 +177,42 @@ def test_discriminator_small_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_discriminator_img_large_forward_and_ref_count():
+    """SURVEY §2.3 row 24 (dead code in the reference, and broken there:
+    start_conv is built for nc channels but fed 2*nc — see critic.py).
+    Pin our param count against the torch constructor (which is
+    buildable even though its forward crashes)."""
+    from mudiff_tpu.models import DiscriminatorImgLarge
+
+    x = jnp.zeros((4, 64, 64, 1))
+    t = jnp.zeros((4,), jnp.int32)
+    model = DiscriminatorImgLarge(ngf=32, t_emb_dim=128)
+    v = model.init(jax.random.PRNGKey(0), x, t, x)
+    out = model.apply(v, x, t, x)
+    assert out.shape == (4,)
+    assert np.isfinite(np.asarray(out)).all()
+
+    import os
+    import sys
+    ref = "/root/reference"
+    if not os.path.isdir(os.path.join(ref, "backbones")):
+        return
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    try:
+        import torch  # noqa: F401
+        from backbones.discriminator import Discriminator_img_large
+    except Exception:
+        return
+    tm = Discriminator_img_large(nc=1, ngf=32, t_emb_dim=128)
+    ref_n = sum(p.numel() for p in tm.parameters())
+    # our start_conv takes the 2-channel cat (the reference's evident
+    # intent; its own ctor builds a 1-channel conv that cannot run) —
+    # difference = one extra input channel on the 1x1 start conv
+    ours_n = _count(v["params"])
+    assert ours_n == ref_n + 32 * 2  # +ngf*2 kernel elements for the extra channel
+
+
 def _ref_count_or_none(progressive, progressive_input, embedding_type,
                        fourier_scale=16.0):
     """Total param count of the torch reference at a small config, or
