@@ -99,14 +99,16 @@ def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
             + 2 * rows * wp * 3 * cout * 4           # Y fp32 (+relayout)
         )
 
-    th = min(h, limit)
-    while h % th:
-        th -= 1
-    while th > 1 and est(th) > budget:
-        th -= 1
-        while h % th:
-            th -= 1
-    return th
+    divisors = [d for d in range(1, min(h, limit) + 1) if h % d == 0]
+    # prefer sublane-tile-aligned band heights (the halo stitch writes
+    # at sublane offset th); fall back to any divisor
+    sub = 16 if itemsize == 2 else 8
+    aligned = [d for d in divisors if d % sub == 0 or d == h]
+    pool = aligned if aligned else divisors
+    fitting = [d for d in pool if est(d) <= budget]
+    if fitting:
+        return max(fitting)
+    return min(pool)
 
 
 def _pick_rows(th: int, wp: int, target: int = 512) -> int:
