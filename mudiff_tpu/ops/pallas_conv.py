@@ -81,8 +81,12 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
-               itemsize: int, limit: int = 32,
-               budget: int = 11 * 2 ** 20) -> int:
+               itemsize: int, mode: str = "dxn", limit: int = 32,
+               budget: int = 8 * 2 ** 20) -> int:
+    # budget: Mosaic sizes the scoped-VMEM stack over ALL live buffers
+    # incl. relayout temporaries the est() below cannot see; 8M of
+    # estimated use keeps the observed total under the 16M hard limit
+    # (an 11M budget measured 16.07M at the 256^2 192->384 gate shape).
     """Largest divisor of h <= limit whose VMEM working set fits.
 
     Working set: double-buffered input band + output band, the folded
@@ -90,13 +94,15 @@ def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
 
     def est(th: int) -> int:
         rows = _pick_rows(th, wp)
+        p_cols = 9 * cin if mode == "dxk" else 3 * cin
+        y_cols = cout if mode == "dxk" else 3 * cout
         return (
             2 * th * wp * cin * itemsize             # input band x2
             + (th + 2) * wp * cin * itemsize         # stitch scratch
             + 2 * th * wd * cout * itemsize          # output band x2
             + 9 * cin * cout * itemsize              # folded weights
-            + rows * wp * 3 * cin * itemsize         # P
-            + 2 * rows * wp * 3 * cout * 4           # Y fp32 (+relayout)
+            + 2 * rows * wp * p_cols * itemsize      # P (+roll temps)
+            + 2 * rows * wp * y_cols * 4             # Y fp32 (+relayout)
         )
 
     divisors = [d for d in range(1, min(h, limit) + 1) if h % d == 0]
@@ -157,14 +163,45 @@ def _conv_kernel(x_ref, halo_ref, w2_ref, b_ref, o_ref, band_ref, *, th,
     lax.fori_loop(0, th // rows, body, 0)
 
 
+def _conv_kernel_dxk(x_ref, halo_ref, w9_ref, b_ref, o_ref, band_ref, *,
+                     th, w_out, wp, cin, cout, rows):
+    """Full-im2col variant: BOTH tap axes ride the contraction
+    (K = 9*Cin, N = Cout).  The column shifts are sublane rolls of the
+    band (wrapped tail columns land beyond w_out and are never read),
+    the GEMM output is the finished conv — no fp32 shift-add relayouts.
+    Packs the MXU exactly for Cin/Cout multiples of 128 in BOTH dims.
+    """
+    band_ref[0:th] = x_ref[0]
+    band_ref[th:th + 2] = halo_ref[0, 0]
+
+    def body(i, _):
+        h0 = i * rows
+        parts = []
+        for dy in range(3):
+            xs = band_ref[pl.ds(h0 + dy, rows), :, :]  # (rows, wp, cin)
+            for dx in range(3):
+                # left-rotate by dx == roll by wp-dx (pltpu.roll wants
+                # non-negative shifts); wrapped tail columns land at
+                # w >= w_out and are sliced away
+                s = pltpu.roll(xs, wp - dx, 1) if dx else xs
+                parts.append(s.reshape(rows * wp, cin))
+        p = jnp.concatenate(parts, axis=-1)  # (rows*wp, 9*cin)
+        y = jnp.dot(p, w9_ref[:], preferred_element_type=jnp.float32)
+        out = y.reshape(rows, wp, cout)[:, 0:w_out, :] + b_ref[0]
+        o_ref[0, 0, pl.ds(h0, rows), :, :] = out.astype(o_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, th // rows, body, 0)
+
+
 def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
-                    bias: jnp.ndarray) -> jnp.ndarray:
+                    bias: jnp.ndarray, mode: str = "dxn") -> jnp.ndarray:
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     wp = _round_up(wd + 2, sub)
     itemsize = jnp.dtype(x.dtype).itemsize
-    th = _pick_band(h, wd, wp, cin, cout, itemsize)
+    th = _pick_band(h, wd, wp, cin, cout, itemsize, mode)
     r = h // th
     rows = _pick_rows(th, wp)
 
@@ -179,13 +216,20 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
     h1s = xp[:, th + 1::th][:, :r]
     halo = jnp.stack([h0s, h1s], axis=2)  # (n, r, 2, wp, cin)
 
-    w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * cin, 3 * cout)
+    if mode == "dxk":
+        kern = _conv_kernel_dxk
+        # [(dy*3+dx)*cin+ci, ko] — the natural row-major collapse
+        w2 = w.reshape(9 * cin, cout)
+    else:
+        kern = _conv_kernel
+        w2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(3 * cin, 3 * cout)
     w2 = w2.astype(x.dtype)
     b2 = bias.reshape(1, cout).astype(jnp.float32)
+    w2_shape = w2.shape
 
     out5 = pl.pallas_call(
         functools.partial(
-            _conv_kernel, th=th, w_out=wd, wp=wp, cin=cin, cout=cout,
+            kern, th=th, w_out=wd, wp=wp, cin=cin, cout=cout,
             rows=rows,
         ),
         out_shape=jax.ShapeDtypeStruct((n, r, th, wd, cout), x.dtype),
@@ -200,7 +244,7 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3 * cin, 3 * cout), lambda bi, ri: (0, 0),
+                w2_shape, lambda bi, ri: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -232,16 +276,16 @@ def conv3x3_xla(x: jnp.ndarray, w: jnp.ndarray,
     return out
 
 
-@jax.custom_vjp
-def _conv3x3_gemm(x, w, bias):
-    return _conv3x3_pallas(x, w, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3x3_gemm(x, w, bias, mode):
+    return _conv3x3_pallas(x, w, bias, mode)
 
 
-def _fwd(x, w, bias):
-    return _conv3x3_pallas(x, w, bias), (x, w)
+def _fwd(x, w, bias, mode):
+    return _conv3x3_pallas(x, w, bias, mode), (x, w)
 
 
-def _bwd(res, g):
+def _bwd(mode, res, g):
     x, w = res
     # data grad: conv of g with the spatially-flipped, io-transposed
     # kernel (the standard transposed-conv identity)
@@ -266,14 +310,21 @@ _conv3x3_gemm.defvjp(_fwd, _bwd)
 
 
 def conv3x3_gemm(x: jnp.ndarray, w: jnp.ndarray,
-                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 bias: Optional[jnp.ndarray] = None,
+                 mode: Optional[str] = None) -> jnp.ndarray:
     """3x3 stride-1 SAME conv, NHWC, via the implicit-GEMM kernel.
 
     x: (N, H, W, Cin); w: (3, 3, Cin, Cout); bias: (Cout,) or None.
     Accumulates fp32, returns x.dtype.  Differentiable (custom VJP).
+
+    mode: "dxn" (row taps in K, column taps in N + shift-add) or "dxk"
+    (full im2col in K, direct output).  Default from
+    MUDIFF_GEMM_CONV_MODE, else "dxn".
     """
     if w.shape[:2] != (3, 3) or w.shape[2] != x.shape[-1]:
         raise ValueError(f"need (3,3,{x.shape[-1]},K) kernel, got {w.shape}")
     if bias is None:
         bias = jnp.zeros((w.shape[-1],), jnp.float32)
-    return _conv3x3_gemm(x, w, bias)
+    if mode is None:
+        mode = os.environ.get("MUDIFF_GEMM_CONV_MODE", "dxn")
+    return _conv3x3_gemm(x, w, bias, mode)

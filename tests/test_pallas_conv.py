@@ -28,10 +28,11 @@ def _data(shape, dtype=jnp.float32, seed=0):
     return x, k, b
 
 
+@pytest.mark.parametrize("mode", ["dxn", "dxk"])
 @pytest.mark.parametrize("shape", SHAPES)
-def test_forward_matches_xla(shape):
+def test_forward_matches_xla(shape, mode):
     x, k, b = _data(shape)
-    ours = conv3x3_gemm(x, k, b)
+    ours = conv3x3_gemm(x, k, b, mode=mode)
     ref = conv3x3_xla(x, k, b)
     np.testing.assert_allclose(
         np.asarray(ours), np.asarray(ref), atol=1e-4, rtol=1e-4
