@@ -107,14 +107,19 @@ def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
 
     divisors = [d for d in range(1, min(h, limit) + 1) if h % d == 0]
     # prefer sublane-tile-aligned band heights (the halo stitch writes
-    # at sublane offset th); fall back to any divisor
+    # at sublane offset th), but a FITTING unaligned band beats an
+    # over-budget aligned one (the earlier fallback returned the same
+    # over-budget divisor and re-OOMed — the 12:57 gate-shape crash)
     sub = 16 if itemsize == 2 else 8
-    aligned = [d for d in divisors if d % sub == 0 or d == h]
-    pool = aligned if aligned else divisors
-    fitting = [d for d in pool if est(d) <= budget]
-    if fitting:
-        return max(fitting)
-    return min(pool)
+    aligned_fit = [
+        d for d in divisors if (d % sub == 0 or d == h) and est(d) <= budget
+    ]
+    if aligned_fit:
+        return max(aligned_fit)
+    any_fit = [d for d in divisors if est(d) <= budget]
+    if any_fit:
+        return max(any_fit)
+    return min(divisors, key=est)
 
 
 def _pick_rows(th: int, wp: int, target: int = 512) -> int:
@@ -194,10 +199,27 @@ def _conv_kernel_dxk(x_ref, halo_ref, w9_ref, b_ref, o_ref, band_ref, *,
     lax.fori_loop(0, th // rows, body, 0)
 
 
+_COUT_CHUNK = 192
+
+
 def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
                     bias: jnp.ndarray, mode: str = "dxn") -> jnp.ndarray:
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
+    if cout > _COUT_CHUNK:
+        # wide-output convs (e.g. the fused G2 gates, 192->384/768)
+        # split along Cout: per-chunk transients (Y fp32, out band) stay
+        # within the scoped-VMEM stack; the lane-concat of outputs is a
+        # single cheap XLA op vs the conv's compute
+        n_chunks = -(-cout // _COUT_CHUNK)
+        size = -(-cout // n_chunks)
+        outs = [
+            _conv3x3_pallas(
+                x, w[..., i:i + size], bias[i:i + size], mode
+            )
+            for i in range(0, cout, size)
+        ]
+        return jnp.concatenate(outs, axis=-1)
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     wp = _round_up(wd + 2, sub)
     itemsize = jnp.dtype(x.dtype).itemsize

@@ -68,19 +68,28 @@ def main() -> None:
             t_xla = chain_time(
                 lambda v: conv3x3_xla(v, w, b), x, args.iters
             )
-            t_gemm = chain_time(
-                lambda v: conv3x3_gemm(v, w, b), x, args.iters
+            t_dxn = chain_time(
+                lambda v: conv3x3_gemm(v, w, b, mode="dxn"), x, args.iters
             )
+            try:
+                t_dxk = chain_time(
+                    lambda v: conv3x3_gemm(v, w, b, mode="dxk"), x,
+                    args.iters,
+                )
+            except Exception as e:
+                print(f"{name:36s} dxk FAILED: {str(e)[:120]}")
+                t_dxk = float("inf")
         except Exception as e:
             print(f"{name:36s} FAILED: {str(e)[:200]}")
             continue
+        t_gemm = min(t_dxn, t_dxk)
         rows.append((name, gflop, t_xla, t_gemm))
         # GF / ms == TF/s
         print(
             f"{name:36s} {gflop:7.1f} GF | XLA {t_xla:8.2f} ms "
             f"({gflop / t_xla / peak * 100:5.1f}%) | "
-            f"GEMM {t_gemm:8.2f} ms "
-            f"({gflop / t_gemm / peak * 100:5.1f}%) | "
+            f"dxn {t_dxn:8.2f} ms ({gflop / t_dxn / peak * 100:5.1f}%) | "
+            f"dxk {t_dxk:8.2f} ms ({gflop / t_dxk / peak * 100:5.1f}%) | "
             f"x{t_xla / t_gemm:5.2f}"
         )
 
