@@ -110,9 +110,9 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
 
     p.add_argument("--use_grad_checkpoint", action="store_true", default=False)
     p.add_argument("--grad_checkpoint_policy", type=str, default="blocks",
-                   choices=["blocks", "hires"],
-                   help="remat scope: every block, or only the "
-                        "high-resolution levels (less recompute)")
+                   choices=["blocks", "hires", "hires4", "hires8"],
+                   help="remat scope: every block, or only levels at "
+                        "resolution >= image_size/N (less recompute)")
     # bf16 compute is the TPU-native default (the reference defaulted to
     # fp16 autocast off); --no_bf16 forces fp32 compute.
     p.add_argument("--use_bf16", action="store_true", default=True)

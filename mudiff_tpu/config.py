@@ -82,9 +82,10 @@ class MuDiffConfig:
     lambda_adv: float = 1.0
     use_grad_checkpoint: bool = False
     # remat scope when use_grad_checkpoint: "blocks" (every block; max
-    # saving) or "hires" (only resolution >= image_size/2 blocks + the
-    # full-res stem/fusion regions; most of the memory saving at a
-    # fraction of the recompute — PERFORMANCE.md remat table)
+    # saving) or "hires"/"hires4"/"hires8" (only resolution >=
+    # image_size/N blocks + the full-res stem/fusion regions; most of
+    # the memory saving at a fraction of the recompute —
+    # PERFORMANCE.md remat table)
     grad_checkpoint_policy: str = "blocks"
     use_bf16: bool = True          # TPU-native default: bf16 compute, no loss scaler
     resume: bool = False

@@ -138,22 +138,29 @@ class NCSNppGenerator(nn.Module):
         # grad_checkpoint_policy (round-3 verdict #3):
         #   "blocks" — remat every block (max memory saving, ~1.5x
         #              recompute; the round-2 default)
-        #   "hires"  — remat only blocks at resolution >= image_size/2,
-        #              where the big activations live; the FLOP-dense
-        #              low-res levels keep their activations and pay no
-        #              recompute.  Per-block stored bytes halve per
-        #              level while per-block FLOPs stay constant
-        #              (channel doubling cancels resolution halving), so
-        #              this trades a small HBM increase for most of the
-        #              recompute.
+        #   "hires" / "hiresN" — remat only blocks at resolution
+        #              >= image_size/N (N=2 for plain "hires"), where
+        #              the big activations live; the low-res levels
+        #              keep their activations and pay no recompute.
+        #              Per-block stored bytes halve per level while
+        #              per-block FLOPs stay constant (channel doubling
+        #              cancels resolution halving), so each level added
+        #              to the remat set buys ~equal HBM for ~equal
+        #              recompute.  Measured nf=128 b=4 256²: "hires"
+        #              (N=2) misses the 15.75G chip by 360M (16.10G,
+        #              1.57G fragmentation — chip compile log 2026-08-17),
+        #              hence "hires4" remats one more level.
         remat = cfg.use_grad_checkpoint
         policy = getattr(cfg, "grad_checkpoint_policy", "blocks")
-        hires_cut = cfg.image_size // 2
+        if policy.startswith("hires"):
+            hires_cut = cfg.image_size // int(policy[5:] or "2")
+        else:
+            hires_cut = 0
 
         def want_remat(res):
             if not remat:
                 return False
-            if policy == "hires":
+            if policy.startswith("hires"):
                 return res >= hires_cut
             return True
 

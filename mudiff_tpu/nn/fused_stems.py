@@ -121,11 +121,10 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     Pallas kernel when MUDIFF_GEMM_CONV=1 and the conv is wide enough
     to pack the MXU (covers the G2 cyclic-fusion gates, ~2.8 TFLOP of
     the forward)."""
-    from mudiff_tpu.ops.pallas_conv import conv3x3_gemm, gemm_conv_enabled
+    from mudiff_tpu.ops.pallas_conv import conv3x3_gemm, gemm_conv_routed
 
     x = x.astype(dtype)
-    if (gemm_conv_enabled() and x.shape[-1] >= 32
-            and kernel.shape[-1] >= 32):
+    if gemm_conv_routed(x.shape[-1], kernel.shape[-1]):
         # kernel adds fp32 bias to the fp32 accumulator (tighter than
         # nn.Conv's compute-dtype add; within bf16 tolerance)
         return conv3x3_gemm(x, kernel.astype(dtype), bias)

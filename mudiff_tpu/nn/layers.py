@@ -82,17 +82,15 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from mudiff_tpu.ops.pallas_conv import gemm_conv_enabled
+        from mudiff_tpu.ops.pallas_conv import gemm_conv_routed
 
         if (
-            gemm_conv_enabled()
-            and self.stride == 1
+            self.stride == 1
             and self.dilation == 1
             and self.padding == 1
-            # the GEMM fold only packs the MXU when 3*C is wide enough;
-            # narrow convs (stems Cin=1, final Cout=1) stay on XLA
-            and x.shape[-1] >= 32
-            and self.features >= 32
+            # per-shape routing rule from the on-chip A/B — see
+            # ops/pallas_conv.gemm_conv_routed
+            and gemm_conv_routed(x.shape[-1], self.features)
         ):
             return _GemmConv(
                 features=self.features,

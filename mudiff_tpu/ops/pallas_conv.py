@@ -70,10 +70,33 @@ def _interpret_mode() -> bool:
     return _INTERPRET
 
 
-def gemm_conv_enabled() -> bool:
-    """Production routing flag for nn/layers.py (env-driven so bench.py
-    can A/B the full model without code changes)."""
-    return os.environ.get("MUDIFF_GEMM_CONV", "0") == "1"
+def gemm_conv_routed(cin: int, cout: int) -> bool:
+    """Per-shape routing decision for Conv3x3 / fused stems.
+
+    MUDIFF_GEMM_CONV=1 routes only shapes where the kernel won the
+    on-chip A/B (PERFORMANCE.md round-3 implicit-GEMM table): the dxn
+    shift-add needs the output lane slices at dx*Cout to be tile
+    aligned (Cout % 128), and a contraction deep enough to pack the
+    MXU (Cin >= 64).  Misaligned-Cout shapes (e.g. 256->64 decoder
+    skips, 192->64 weight heads, the whole C64 level) measured slower
+    than XLA's lowering and stay on it.
+
+    MUDIFF_GEMM_CONV=256 routes only the Cout-multiple-of-256 convs
+    (the 64^2*C256 group, the kernel's strongest shape — 52% MFU
+    standalone vs XLA's ~50% in-model packing) for the finer-grained
+    in-model A/B.
+
+    MUDIFF_GEMM_CONV=all routes every eligible 3x3 (>=32 channels) —
+    used by tests (small widths) and kernel-coverage A/Bs.
+    """
+    flag = os.environ.get("MUDIFF_GEMM_CONV", "0")
+    if flag == "all":
+        return cin >= 32 and cout >= 32
+    if flag == "1":
+        return cout % 128 == 0 and cin >= 64
+    if flag == "256":
+        return cout % 256 == 0 and cin >= 128
+    return False
 
 
 def _round_up(v: int, m: int) -> int:
@@ -179,16 +202,21 @@ def _conv_kernel_dxk(x_ref, halo_ref, w9_ref, b_ref, o_ref, band_ref, *,
     band_ref[0:th] = x_ref[0]
     band_ref[th:th + 2] = halo_ref[0, 0]
 
+    def rot(xs, dx):
+        # left-rotate the W (sublane) axis by dx; wrapped tail columns
+        # land at w >= w_out and are sliced away.  pltpu.roll did not
+        # compile on the Mosaic backend at these shapes (remote-compile
+        # 500 at every census shape, 2026-08-17); a two-slice concat is
+        # the same rotation in plain ops.
+        return jnp.concatenate([xs[:, dx:, :], xs[:, :dx, :]], axis=1)
+
     def body(i, _):
         h0 = i * rows
         parts = []
         for dy in range(3):
             xs = band_ref[pl.ds(h0 + dy, rows), :, :]  # (rows, wp, cin)
             for dx in range(3):
-                # left-rotate by dx == roll by wp-dx (pltpu.roll wants
-                # non-negative shifts); wrapped tail columns land at
-                # w >= w_out and are sliced away
-                s = pltpu.roll(xs, wp - dx, 1) if dx else xs
+                s = rot(xs, dx) if dx else xs
                 parts.append(s.reshape(rows * wp, cin))
         p = jnp.concatenate(parts, axis=-1)  # (rows*wp, 9*cin)
         y = jnp.dot(p, w9_ref[:], preferred_element_type=jnp.float32)

@@ -83,13 +83,39 @@ def test_jit_and_vmap_compose():
     )
 
 
+def test_routing_rule(monkeypatch):
+    """MUDIFF_GEMM_CONV=1 routes only the lane-aligned winning shapes
+    from the on-chip A/B; =all routes every >=32-channel 3x3; unset
+    routes nothing."""
+    from mudiff_tpu.ops.pallas_conv import gemm_conv_routed
+
+    monkeypatch.delenv("MUDIFF_GEMM_CONV", raising=False)
+    assert not gemm_conv_routed(256, 256)
+
+    monkeypatch.setenv("MUDIFF_GEMM_CONV", "1")
+    assert gemm_conv_routed(256, 256)       # 64^2*C256 census group
+    assert gemm_conv_routed(128, 128)       # 128^2*C128 census group
+    assert gemm_conv_routed(384, 384)       # G2 gates (nf=128)
+    assert not gemm_conv_routed(64, 64)     # C64 level: XLA wins
+    assert not gemm_conv_routed(192, 64)    # G2 weight heads: XLA wins
+    assert not gemm_conv_routed(256, 64)    # decoder skip: XLA wins
+    assert not gemm_conv_routed(1, 128)     # stem: too narrow to pack
+
+    monkeypatch.setenv("MUDIFF_GEMM_CONV", "all")
+    assert gemm_conv_routed(64, 64)
+    assert gemm_conv_routed(32, 32)
+    assert not gemm_conv_routed(1, 32)
+
+
 def test_routed_train_step_smoke(monkeypatch):
     """The routed kernel must compose with jax.grad, nn.remat and the
     full adversarial train step (custom-VJP under checkpointing)."""
     from mudiff_tpu.config import MuDiffConfig
     from mudiff_tpu.train import create_train_state, make_train_step
 
-    monkeypatch.setenv("MUDIFF_GEMM_CONV", "1")
+    # "all" routes every >=32-channel 3x3 (the selective "1" rule needs
+    # production widths that would be slow on the CPU interpreter)
+    monkeypatch.setenv("MUDIFF_GEMM_CONV", "all")
     cfg = MuDiffConfig(
         image_size=16, num_channels=1, num_channels_dae=32, ch_mult=(1, 2),
         num_res_blocks=1, attn_resolutions=(8,), z_emb_dim=32, t_emb_dim=32,
@@ -110,7 +136,7 @@ def test_routed_train_step_smoke(monkeypatch):
 
 
 def test_model_routing_identical_params_and_outputs(monkeypatch):
-    """MUDIFF_GEMM_CONV=1 must keep the generator's param tree
+    """Routing on (=all) must keep the generator's param tree
     byte-identical (checkpoint compatibility) and its outputs equal to
     the XLA path within fp32 tolerance."""
     from mudiff_tpu.config import MuDiffConfig
@@ -128,7 +154,7 @@ def test_model_routing_identical_params_and_outputs(monkeypatch):
     z = jnp.asarray(rng.randn(2, cfg.nz).astype(np.float32))
 
     outs, params_trees = [], []
-    for flag in ("0", "1"):
+    for flag in ("0", "all"):
         monkeypatch.setenv("MUDIFF_GEMM_CONV", flag)
         for adaptive in (False, True):
             model = NCSNppGenerator(config=cfg, adaptive=adaptive)

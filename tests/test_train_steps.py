@@ -186,17 +186,19 @@ def test_hires_remat_policy_runs_and_preserves_params():
     working train step."""
     base = TINY.replace(use_grad_checkpoint=True)
     hires = base.replace(grad_checkpoint_policy="hires")
+    hires4 = base.replace(grad_checkpoint_policy="hires4")
     trees = []
-    for cfg in (base, hires):
+    for cfg in (base, hires, hires4):
         state, g1, g2, d = create_train_state(
             cfg, jax.random.PRNGKey(0), steps_per_epoch=10
         )
         trees.append((state, g1, g2, d))
     pa = jax.tree_util.tree_leaves_with_path(trees[0][0].params_g1)
-    pb = jax.tree_util.tree_leaves_with_path(trees[1][0].params_g1)
-    assert [p for p, _ in pa] == [p for p, _ in pb]
-    for (_, va), (_, vb) in zip(pa, pb):
-        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    for alt in (1, 2):
+        pb = jax.tree_util.tree_leaves_with_path(trees[alt][0].params_g1)
+        assert [p for p, _ in pa] == [p for p, _ in pb]
+        for (_, va), (_, vb) in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
     state, g1, g2, d = trees[1]
     step = make_train_step(hires, g1.apply, g2.apply, d.apply)
     state2, m = step(state, _batch(), jax.random.PRNGKey(1), with_r1=True)

@@ -14,18 +14,29 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_time(fn, x0, n):
-    """Run ``fn`` n times serialized by a data dependency; ms/iter."""
+def chain_time(fn, x0, n, unroll=False):
+    """Run ``fn`` n times serialized by a data dependency; ms/iter.
+
+    unroll=True chains by Python loop instead of lax.scan: every
+    iteration is a separate HLO op that the layout assigner and fusion
+    passes see individually — use to cross-check whether a scan body is
+    being pessimized (observed: a bare 3x3 conv inside scan timed 15-40x
+    its in-model cost; unrolled it matches the HLO-census rate)."""
+
+    def body(carry):
+        out = fn(carry)
+        # fold a (tiny) function of the output back into the input:
+        # serializes iterations and defeats execution dedup/elision
+        s = (jnp.sum(out.astype(jnp.float32)) * 1e-24).astype(carry.dtype)
+        return carry + s
 
     def chained(x, steps):
-        def body(carry, _):
-            out = fn(carry)
-            # fold a (tiny) function of the output back into the input:
-            # serializes iterations and defeats execution dedup/elision
-            s = (jnp.sum(out.astype(jnp.float32)) * 1e-24).astype(carry.dtype)
-            return carry + s, ()
-
-        x, _ = jax.lax.scan(body, x, (), length=steps)
+        if unroll:
+            for _ in range(steps):
+                x = body(x)
+        else:
+            x, _ = jax.lax.scan(lambda c, _: (body(c), ()), x, (),
+                                length=steps)
         return jnp.sum(x.astype(jnp.float32))
 
     jit0 = jax.jit(lambda x: chained(x, 0))

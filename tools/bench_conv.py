@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--unroll", action="store_true",
+                    help="python-unrolled chain instead of lax.scan "
+                         "(cross-check for scan-pessimized lowerings)")
     args = ap.parse_args()
 
     from mudiff_tpu.ops.pallas_conv import conv3x3_gemm, conv3x3_xla
@@ -66,15 +69,17 @@ def main() -> None:
             assert err < 2e-2, f"{name}: rel err {err}"
 
             t_xla = chain_time(
-                lambda v: conv3x3_xla(v, w, b), x, args.iters
+                lambda v: conv3x3_xla(v, w, b), x, args.iters,
+                unroll=args.unroll,
             )
             t_dxn = chain_time(
-                lambda v: conv3x3_gemm(v, w, b, mode="dxn"), x, args.iters
+                lambda v: conv3x3_gemm(v, w, b, mode="dxn"), x, args.iters,
+                unroll=args.unroll,
             )
             try:
                 t_dxk = chain_time(
                     lambda v: conv3x3_gemm(v, w, b, mode="dxk"), x,
-                    args.iters,
+                    args.iters, unroll=args.unroll,
                 )
             except Exception as e:
                 print(f"{name:36s} dxk FAILED: {str(e)[:120]}")

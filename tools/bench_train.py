@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--remat", action="store_true",
                     help="activation checkpointing (use_grad_checkpoint)")
     ap.add_argument("--remat_policy", default="blocks",
-                    choices=["blocks", "hires"],
+                    choices=["blocks", "hires", "hires4", "hires8"],
                     help="remat scope (see config.grad_checkpoint_policy)")
     args = ap.parse_args()
 
