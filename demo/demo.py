@@ -136,8 +136,14 @@ def main() -> None:
     )
     from PIL import Image
 
-    Image.fromarray((panel * 255).astype(np.uint8), "L").save(args.out)
-    print(f"[demo] wrote {args.out} (3 conditions | synthesized "
+    out = args.out
+    if not os.path.splitext(out)[1]:
+        # extension-less --out (e.g. a directory-style name): write a
+        # PNG rather than erroring inside PIL
+        out += ".png"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    Image.fromarray((panel * 255).astype(np.uint8), "L").save(out)
+    print(f"[demo] wrote {out} (3 conditions | synthesized "
           f"{args.target_modality})")
 
 

@@ -207,6 +207,21 @@ def test_cli_flag_names_match_reference():
     assert cfg.target_modality == "T1CE"
 
 
+def test_cli_grad_checkpoint_policy_plumbs_to_config():
+    """--grad_checkpoint_policy (TPU-native knob, PERFORMANCE.md remat
+    table) reaches MuDiffConfig for every selective-remat choice."""
+    from mudiff_tpu.cli.args import parse_config
+
+    base = ("--exp t --input_path /d --output_path /o "
+            "--target_modality T1CE --use_grad_checkpoint").split()
+    for pol in ("blocks", "hires", "hires4", "hires8"):
+        cfg, _ = parse_config(
+            base + ["--grad_checkpoint_policy", pol], mode="train"
+        )
+        assert cfg.use_grad_checkpoint
+        assert cfg.grad_checkpoint_policy == pol
+
+
 def test_slice_test_multidevice_mesh(trained):
     """Inference shards batches over all 8 virtual devices."""
     import jax
