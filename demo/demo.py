@@ -137,9 +137,11 @@ def main() -> None:
     from PIL import Image
 
     out = args.out
-    if not os.path.splitext(out)[1]:
-        # extension-less --out (e.g. a directory-style name): write a
-        # PNG rather than erroring inside PIL
+    if out.endswith(os.sep) or os.path.isdir(out):
+        # --out points at a directory: drop the default filename in it
+        out = os.path.join(out, "demo_output.png")
+    elif not os.path.splitext(out)[1]:
+        # extension-less --out: write a PNG rather than erroring in PIL
         out += ".png"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     Image.fromarray((panel * 255).astype(np.uint8), "L").save(out)

@@ -130,23 +130,23 @@ class DiscriminatorLarge(nn.Module):
         h = StyleConv2d(
             ngf * 2, kernel_size=(1, 1), padding=0, dtype=dt, name="start_conv"
         )(h)
-        h = DownConvBlock(ngf * 4, downsample=True, dtype=dt, name="conv1")(
+        h = DownConvBlock(ngf * 4, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv1")(
             h, t_embed
         )
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv2")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv2")(
             h, t_embed
         )
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv3")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv3")(
             h, t_embed
         )
         mid_feat = h  # 32x downsampled, ngf*8 channels (reference :233)
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv4")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv4")(
             h, t_embed
         )
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv5")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv5")(
             h, t_embed
         )
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv6")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv6")(
             h, t_embed
         )
         h = _minibatch_stddev(h)
@@ -193,7 +193,8 @@ class DiscriminatorImgLarge(nn.Module):
             (ngf * 4, ngf * 8, ngf * 8, ngf * 8, ngf * 8, ngf * 8)
         ):
             h = DownConvBlock(
-                feats, downsample=True, dtype=dt, name=f"conv{i + 1}"
+                feats, downsample=True, fir_kernel=self.fir_kernel,
+                dtype=dt, name=f"conv{i + 1}",
             )(h, t_embed)
         h = _minibatch_stddev(h)
         h = StyleConv2d(ngf * 8, dtype=dt, name="final_conv")(h)
@@ -210,6 +211,7 @@ class DiscriminatorSmall(nn.Module):
 
     ngf: int = 64
     t_emb_dim: int = 128
+    fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -229,13 +231,13 @@ class DiscriminatorSmall(nn.Module):
             ngf * 2, kernel_size=(1, 1), padding=0, dtype=dt, name="start_conv"
         )(h)
         h = DownConvBlock(ngf * 2, dtype=dt, name="conv1")(h, t_embed)
-        h = DownConvBlock(ngf * 4, downsample=True, dtype=dt, name="conv2")(
+        h = DownConvBlock(ngf * 4, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv2")(
             h, t_embed
         )
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv3")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv3")(
             h, t_embed
         )
-        h = DownConvBlock(ngf * 8, downsample=True, dtype=dt, name="conv4")(
+        h = DownConvBlock(ngf * 8, downsample=True, fir_kernel=self.fir_kernel, dtype=dt, name="conv4")(
             h, t_embed
         )
         h = _minibatch_stddev(h)

@@ -142,7 +142,10 @@ def _pick_band(h: int, wd: int, wp: int, cin: int, cout: int,
     any_fit = [d for d in divisors if est(d) <= budget]
     if any_fit:
         return max(any_fit)
-    return min(divisors, key=est)
+    # nothing fits even at th=1: the caller must NOT launch the kernel
+    # (an over-VMEM Pallas kernel faults and crashes the TPU worker,
+    # ~10-15 min tunnel recovery) — signal an XLA fallback instead
+    return 0
 
 
 def _pick_rows(th: int, wp: int, target: int = 512) -> int:
@@ -239,8 +242,14 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
         # split along Cout: per-chunk transients (Y fp32, out band) stay
         # within the scoped-VMEM stack; the lane-concat of outputs is a
         # single cheap XLA op vs the conv's compute
-        n_chunks = -(-cout // _COUT_CHUNK)
-        size = -(-cout // n_chunks)
+        if cout % 128 == 0:
+            # keep every chunk a lane-tile multiple — the dxn shift-add
+            # slices the output at dx*cout_chunk offsets, and the
+            # routing rule only admits these convs BECAUSE Cout%128==0
+            size = 128
+        else:
+            n_chunks = -(-cout // _COUT_CHUNK)
+            size = -(-cout // n_chunks)
         outs = [
             _conv3x3_pallas(
                 x, w[..., i:i + size], bias[i:i + size], mode
@@ -252,6 +261,10 @@ def _conv3x3_pallas(x: jnp.ndarray, w: jnp.ndarray,
     wp = _round_up(wd + 2, sub)
     itemsize = jnp.dtype(x.dtype).itemsize
     th = _pick_band(h, wd, wp, cin, cout, itemsize, mode)
+    if th == 0:
+        # no band height fits the scoped-VMEM budget — launching would
+        # fault the kernel and crash the TPU worker; use XLA instead
+        return conv3x3_xla(x, w, bias)
     r = h // th
     rows = _pick_rows(th, wp)
 

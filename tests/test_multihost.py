@@ -206,28 +206,4 @@ def test_two_process_distributed_feed(npy_root):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-
-    env_base = {
-        **os.environ,
-        "JAX_PLATFORMS": "cpu",
-        "PALLAS_AXON_POOL_IPS": "",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
-        "MH_COORD": f"127.0.0.1:{port}",
-        "MH_DATA": str(npy_root),
-        "PYTHONPATH": "/root/repo",
-        "OMP_NUM_THREADS": "1",
-    }
-    procs = []
-    for pid in range(2):
-        env = dict(env_base, MH_PID=str(pid))
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        ))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        assert "OK" in out
+    _run_two_process(_WORKER, port, {"MH_DATA": str(npy_root)}, timeout=600)

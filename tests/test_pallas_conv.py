@@ -81,6 +81,32 @@ def test_jit_and_vmap_compose():
         np.asarray(f(x)), np.asarray(conv3x3_xla(x, k, b)),
         atol=1e-4, rtol=1e-4,
     )
+    # vmap over a leading axis (e.g. an ensemble dim): the custom-VJP
+    # op must have a working batching rule
+    xs = jnp.stack([x, x * 0.5])
+    vf = jax.jit(jax.vmap(lambda x: conv3x3_gemm(x, k, b)))
+    ref = jnp.stack([conv3x3_xla(x, k, b), conv3x3_xla(x * 0.5, k, b)])
+    np.testing.assert_allclose(
+        np.asarray(vf(xs)), np.asarray(ref), atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_overbudget_band_falls_back_to_xla(monkeypatch):
+    """When no band height fits the scoped-VMEM budget (_pick_band
+    returns 0), the op must route to XLA instead of launching an
+    over-VMEM kernel (which faults and crashes the TPU worker)."""
+    import mudiff_tpu.ops.pallas_conv as pc
+
+    # real over-budget shape: even th=1 exceeds the 8M estimate budget
+    assert pc._pick_band(64, 64, 80, 4096, 4096, 2) == 0
+
+    monkeypatch.setattr(pc, "_pick_band", lambda *a, **k: 0)
+    x, k, b = _data((2, 8, 8, 8, 8))
+    np.testing.assert_allclose(
+        np.asarray(pc.conv3x3_gemm(x, k, b)),
+        np.asarray(pc.conv3x3_xla(x, k, b)),
+        atol=1e-4, rtol=1e-4,
+    )
 
 
 def test_routing_rule(monkeypatch):
