@@ -173,6 +173,9 @@ def main() -> None:
                     help="data-parallel devices (-1 = all visible)")
     ap.add_argument("--nf", type=int, default=64,
                     help="generator width (64 logged / 128 canonical)")
+    ap.add_argument("--int8", action="store_true", default=False,
+                    help="W8A8 int8 MXU serving mode (ops/int8_conv.py)"
+                         " — same checkpoints, trunk convs at 2x peak")
     args = ap.parse_args()
 
     from mudiff_tpu.config import brats_recipe
@@ -182,7 +185,8 @@ def main() -> None:
     mesh = make_mesh(dp=n_dev, fsdp=1) if n_dev > 1 else None
 
     cfg = brats_recipe(
-        num_channels_dae=args.nf, image_size=256, use_bf16=True
+        num_channels_dae=args.nf, image_size=256, use_bf16=True,
+        use_int8=args.int8,
     )
     value = measure_throughput(cfg, mesh)
 
@@ -201,6 +205,7 @@ def main() -> None:
         ),
         "devices": n_dev,
         "nf": args.nf,
+        "quant": "int8-w8a8" if args.int8 else "bf16",
     }))
 
 

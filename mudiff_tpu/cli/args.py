@@ -117,6 +117,10 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     # fp16 autocast off); --no_bf16 forces fp32 compute.
     p.add_argument("--use_bf16", action="store_true", default=True)
     p.add_argument("--no_bf16", dest="use_bf16", action="store_false")
+    # W8A8 int8 MXU serving mode (inference CLIs; ignored during
+    # training) — trunk 3x3 convs at 2x the bf16 peak, same checkpoints
+    # (ops/int8_conv.py).
+    p.add_argument("--use_int8", action="store_true", default=False)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--log_mem_after_update", action="store_true", default=False)
     p.add_argument("--debug_verbose", action="store_true", default=False)

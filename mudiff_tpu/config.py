@@ -88,6 +88,12 @@ class MuDiffConfig:
     # PERFORMANCE.md remat table)
     grad_checkpoint_policy: str = "blocks"
     use_bf16: bool = True          # TPU-native default: bf16 compute, no loss scaler
+    # W8A8 int8 MXU path for INFERENCE (sampling/serving) only — the
+    # trunk 3x3 convs run s8xs8->s32 at 2x the bf16 peak
+    # (ops/int8_conv.py).  Ignored when train=True (no straight-through
+    # estimator; training stays bf16).  Param trees and checkpoints are
+    # unchanged: any bf16-trained checkpoint serves quantized.
+    use_int8: bool = False
     resume: bool = False
     pretrained_dir: Optional[str] = None
 

@@ -91,7 +91,6 @@ class NCSNppGenerator(nn.Module):
     num_conditions: int = 3
     dtype: Dtype = jnp.float32
 
-    @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
@@ -102,6 +101,31 @@ class NCSNppGenerator(nn.Module):
         z: jnp.ndarray = None,
         pseudo_target: Optional[jnp.ndarray] = None,
         train: bool = False,
+    ) -> jnp.ndarray:
+        # int8 serving mode: the scope flag is read by Conv3x3 at trace
+        # time, so it must cover the whole forward trace.  It travels
+        # with the config that built this module — a model constructed
+        # with use_int8=False can never pick up a stale flag, because
+        # the scope is (re)entered on every trace.  Inference-only:
+        # training keeps the bf16 path (no straight-through estimator).
+        from mudiff_tpu.ops.int8_conv import int8_scope
+
+        with int8_scope(self.config.use_int8 and not train):
+            return self._forward(
+                x, cond1, cond2, cond3, time_cond, z, pseudo_target, train
+            )
+
+    @nn.compact
+    def _forward(
+        self,
+        x: jnp.ndarray,
+        cond1: jnp.ndarray,
+        cond2: jnp.ndarray,
+        cond3: Optional[jnp.ndarray],
+        time_cond: jnp.ndarray,
+        z: jnp.ndarray,
+        pseudo_target: Optional[jnp.ndarray],
+        train: bool,
     ) -> jnp.ndarray:
         assert (cond3 is None) == (self.num_conditions == 2), (
             "pass cond3 iff num_conditions == 3"

@@ -69,6 +69,35 @@ class _GemmConv(nn.Module):
         )
 
 
+class _Int8Conv(nn.Module):
+    """Param-tree-identical stand-in for the inner nn.Conv of Conv3x3
+    that routes through the W8A8 int8 MXU path (ops/int8_conv.py).
+    Same param names ("kernel"/"bias"), shapes, inits and fp32 dtypes
+    as nn.Conv, so any existing checkpoint serves quantized."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mudiff_tpu.ops.int8_conv import int8_conv3x3
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias else None
+        )
+        return int8_conv3x3(x, kernel, bias, compute_dtype=self.dtype)
+
+
 class Conv3x3(nn.Module):
     """3x3 conv with DDPM init (reference layers.py:122-128)."""
 
@@ -82,8 +111,23 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from mudiff_tpu.ops.int8_conv import int8_conv_routed, int8_enabled
         from mudiff_tpu.ops.pallas_conv import gemm_conv_routed
 
+        if (
+            self.stride == 1
+            and self.dilation == 1
+            and self.padding == 1
+            and int8_enabled()
+            and int8_conv_routed(x.shape[-1], self.features)
+        ):
+            return _Int8Conv(
+                features=self.features,
+                use_bias=self.use_bias,
+                kernel_init=default_init(self.init_scale),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if (
             self.stride == 1
             and self.dilation == 1

@@ -1,0 +1,206 @@
+"""int8 W8A8 serving-path tests (ops/int8_conv.py, nn/layers._Int8Conv).
+
+The quantized mode must (a) leave the param tree bit-identical so any
+bf16-trained checkpoint serves quantized, (b) stay numerically close to
+the fp32 conv at the quantization error bound, (c) route ONLY the
+trunk shapes (Cin/Cout >= 64) and only under an enabled scope, and
+(d) be ignored during training (train=True keeps bf16)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mudiff_tpu.ops.int8_conv import (
+    int8_conv3x3,
+    int8_conv_routed,
+    int8_enabled,
+    int8_scope,
+    quantize_activation,
+    quantize_weight,
+)
+
+
+def _ref_conv(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 64, 128).astype(np.float32))
+    wq, scale = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (1, 1, 1, 128)
+    err = np.abs(np.asarray(wq, np.float32) * np.asarray(scale) - w)
+    # symmetric round-to-nearest: error <= scale/2 per channel
+    assert (err <= np.asarray(scale) / 2 + 1e-7).all()
+    # per-channel absmax hits 127 exactly
+    assert np.abs(np.asarray(wq)).max(axis=(0, 1, 2)).min() == 127
+
+
+def test_quantize_activation_per_example():
+    rng = np.random.RandomState(1)
+    x = rng.randn(4, 8, 8, 16).astype(np.float32)
+    x[2] *= 100.0  # an outlier example must not affect the others
+    xq, scale = quantize_activation(jnp.asarray(x))
+    assert xq.dtype == jnp.int8 and scale.shape == (4, 1, 1, 1)
+    x_hat = np.asarray(xq, np.float32) * np.asarray(scale)
+    for b in range(4):
+        err = np.abs(x_hat[b] - x[b]).max()
+        assert err <= np.asarray(scale)[b, 0, 0, 0] / 2 + 1e-6, b
+
+
+def test_int8_conv3x3_close_to_fp32():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ref = np.asarray(_ref_conv(x, w, b))
+    out = np.asarray(
+        int8_conv3x3(x, w, b, compute_dtype=jnp.float32), np.float32
+    )
+    # w8a8 error bound: N(0,1) inputs are the adversarial case for
+    # per-example scales (measured 1.3% of the output range on CPU);
+    # in-model activations are GroupNorm-bounded and land far lower
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() <= 0.02 * scale
+
+
+def test_scope_is_scoped_and_restored():
+    assert not int8_enabled()
+    with int8_scope(True):
+        assert int8_enabled()
+        with int8_scope(False):
+            assert not int8_enabled()
+        assert int8_enabled()
+    assert not int8_enabled()
+    with pytest.raises(RuntimeError):
+        with int8_scope(True):
+            raise RuntimeError("x")
+    assert not int8_enabled()  # restored on exceptions too
+
+
+def test_routing_band():
+    assert int8_conv_routed(64, 64)
+    assert int8_conv_routed(256, 256)
+    assert not int8_conv_routed(1, 64)    # stems
+    assert not int8_conv_routed(64, 1)    # head
+    assert not int8_conv_routed(32, 32)
+
+
+def test_conv3x3_param_tree_identical_and_routed():
+    from mudiff_tpu.nn.layers import Conv3x3
+
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 8, 8, 64), jnp.float32)
+    m = Conv3x3(features=64, dtype=jnp.float32)
+    p_off = m.init(jax.random.PRNGKey(0), x)
+    with int8_scope(True):
+        p_on = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p_off) == (
+        jax.tree_util.tree_structure(p_on)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_off), jax.tree_util.tree_leaves(p_on)
+    ):
+        assert a.dtype == b.dtype and (np.asarray(a) == np.asarray(b)).all()
+    y_off = m.apply(p_off, x)
+    with int8_scope(True):
+        y_on = m.apply(p_off, x)
+    # routed: quantized output differs from exact but stays close
+    assert not np.array_equal(np.asarray(y_on), np.asarray(y_off))
+    scale = np.abs(np.asarray(y_off)).max() + 1e-9
+    assert np.abs(np.asarray(y_on) - np.asarray(y_off)).max() <= 0.02 * scale
+
+    # ineligible shape (Cin=1): int8 scope must not change the lowering
+    x1 = jnp.ones((1, 8, 8, 1), jnp.float32)
+    m1 = Conv3x3(features=64, dtype=jnp.float32)
+    p1 = m1.init(jax.random.PRNGKey(1), x1)
+    with int8_scope(True):
+        y1_on = m1.apply(p1, x1)
+    assert np.array_equal(np.asarray(m1.apply(p1, x1)), np.asarray(y1_on))
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_pair():
+    from mudiff_tpu.config import brats_recipe
+
+    mk = lambda **kw: brats_recipe(
+        num_channels_dae=64, image_size=16, ch_mult=(1, 2),
+        attn_resolutions=(8,), num_res_blocks=1, use_bf16=False, **kw
+    )
+    return mk(), mk(use_int8=True)
+
+
+def test_generator_int8_mode(tiny_cfg_pair):
+    """use_int8 config: same params, close outputs, train=True exempt."""
+    from mudiff_tpu.models import NCSNppGenerator
+
+    cfg0, cfg8 = tiny_cfg_pair
+    s = cfg0.image_size
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, s, s, 1).astype(np.float32) * 0.3)
+    t = jnp.asarray([0, 2], jnp.int32)
+    z = jnp.asarray(rng.randn(2, cfg0.nz).astype(np.float32))
+
+    g0 = NCSNppGenerator(config=cfg0)
+    g8 = NCSNppGenerator(config=cfg8)
+    p0 = g0.init(jax.random.PRNGKey(0), x, x, x, x, t, z)["params"]
+    p8 = g8.init(jax.random.PRNGKey(0), x, x, x, x, t, z)["params"]
+    assert jax.tree_util.tree_structure(p0) == (
+        jax.tree_util.tree_structure(p8)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p8)
+    ):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    y0 = np.asarray(g0.apply({"params": p0}, x, x, x, x, t, z), np.float32)
+    y8 = np.asarray(g8.apply({"params": p0}, x, x, x, x, t, z), np.float32)
+    assert np.isfinite(y8).all()
+    assert not np.array_equal(y0, y8)  # int8 path actually taken
+    # tanh-bounded outputs: quantization error stays small end-to-end
+    assert np.abs(y0 - y8).max() <= 0.1
+
+    # train=True must force the exact bf16/fp32 path even with use_int8
+    yt0 = np.asarray(
+        g0.apply({"params": p0}, x, x, x, x, t, z, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(7)}),
+        np.float32,
+    )
+    yt8 = np.asarray(
+        g8.apply({"params": p0}, x, x, x, x, t, z, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(7)}),
+        np.float32,
+    )
+    assert np.array_equal(yt0, yt8)
+
+
+def test_adaptive_generator_int8_mode(tiny_cfg_pair):
+    from mudiff_tpu.models import NCSNppGenerator
+
+    cfg0, cfg8 = tiny_cfg_pair
+    s = cfg0.image_size
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, s, s, 1).astype(np.float32) * 0.3)
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.asarray(rng.randn(1, cfg0.nz).astype(np.float32))
+
+    ga0 = NCSNppGenerator(config=cfg0, adaptive=True)
+    ga8 = NCSNppGenerator(config=cfg8, adaptive=True)
+    pa = ga0.init(
+        jax.random.PRNGKey(1), x, x, x, x, t, z, pseudo_target=x
+    )["params"]
+    y0 = np.asarray(
+        ga0.apply({"params": pa}, x, x, x, x, t, z, pseudo_target=x),
+        np.float32,
+    )
+    y8 = np.asarray(
+        ga8.apply({"params": pa}, x, x, x, x, t, z, pseudo_target=x),
+        np.float32,
+    )
+    assert np.isfinite(y8).all()
+    assert not np.array_equal(y0, y8)
+    assert np.abs(y0 - y8).max() <= 0.1
