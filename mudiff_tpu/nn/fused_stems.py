@@ -115,15 +115,29 @@ def block_diag_conv2(kernels: Sequence[jnp.ndarray]) -> jnp.ndarray:
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-          dtype) -> jnp.ndarray:
+          dtype, allow_int8: bool = False) -> jnp.ndarray:
     """Match flax nn.Conv numerics: promote to compute dtype, SAME-pad
     3x3, add bias in compute dtype.  Routes through the implicit-GEMM
     Pallas kernel when MUDIFF_GEMM_CONV=1 and the conv is wide enough
     to pack the MXU (covers the G2 cyclic-fusion gates, ~2.8 TFLOP of
-    the forward)."""
+    the forward).
+
+    allow_int8: opt into the W8A8 serving path (ops/int8_conv.py) when
+    the model was built with use_int8 — passed only by the G2
+    cyclic-fusion gate/weight convs (mid-network, sigmoid-gated); the
+    stem convs stay exact because every downstream feature flows
+    through them."""
+    from mudiff_tpu.ops.int8_conv import (
+        int8_conv3x3,
+        int8_conv_routed,
+        int8_enabled,
+    )
     from mudiff_tpu.ops.pallas_conv import conv3x3_gemm, gemm_conv_routed
 
     x = x.astype(dtype)
+    if (allow_int8 and int8_enabled()
+            and int8_conv_routed(x.shape[-1], kernel.shape[-1])):
+        return int8_conv3x3(x, kernel, bias, compute_dtype=dtype)
     if gemm_conv_routed(x.shape[-1], kernel.shape[-1]):
         # kernel adds fp32 bias to the fp32 accumulator (tighter than
         # nn.Conv's compute-dtype add; within bf16 tolerance)
@@ -345,7 +359,7 @@ def fused_gate_convs(
     f = gate_params[0][0].shape[-1]
     k = jnp.concatenate([p[0] for p in gate_params], axis=-1)
     b = jnp.concatenate([p[1] for p in gate_params])
-    g = jax.nn.sigmoid(_conv(allc, k, b, dtype))
+    g = jax.nn.sigmoid(_conv(allc, k, b, dtype, allow_int8=True))
     return [g[..., i * f:(i + 1) * f] for i in range(len(gate_params))]
 
 
@@ -358,5 +372,7 @@ def fused_weight_convs(
     f = w_params[0][0].shape[-1]
     k = block_diag_conv2([p[0] for p in w_params])
     b = jnp.concatenate([p[1] for p in w_params])
-    out = _conv(jnp.concatenate(inputs, axis=-1), k, b, dtype)
+    out = _conv(
+        jnp.concatenate(inputs, axis=-1), k, b, dtype, allow_int8=True
+    )
     return [out[..., i * f:(i + 1) * f] for i in range(len(w_params))]

@@ -123,6 +123,61 @@ def test_conv3x3_param_tree_identical_and_routed():
     assert np.array_equal(np.asarray(m1.apply(p1, x1)), np.asarray(y1_on))
 
 
+def test_fused_gate_weight_convs_route_int8():
+    """The G2 cyclic-fusion gate/weight convs (fused_stems._conv with
+    allow_int8=True) take the int8 path under the scope; the stem convs
+    (allow_int8 default False) never do."""
+    from mudiff_tpu.nn.fused_stems import (
+        _conv,
+        fused_gate_convs,
+        fused_weight_convs,
+    )
+
+    rng = np.random.RandomState(6)
+    nf = 64
+    allc = jnp.asarray(rng.randn(1, 8, 8, 3 * nf).astype(np.float32) * 0.3)
+    gp = [
+        (
+            jnp.asarray(rng.randn(3, 3, 3 * nf, nf).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(nf).astype(np.float32) * 0.1),
+        )
+        for _ in range(2)
+    ]
+    g_off = fused_gate_convs(allc, gp, jnp.float32)
+    with int8_scope(True):
+        g_on = fused_gate_convs(allc, gp, jnp.float32)
+    assert not np.array_equal(np.asarray(g_off[0]), np.asarray(g_on[0]))
+    for a, b in zip(g_off, g_on):  # sigmoided gates stay close
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 0.01
+
+    wp = [
+        (
+            jnp.asarray(rng.randn(3, 3, nf, nf).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(nf).astype(np.float32) * 0.1),
+        )
+        for _ in range(3)
+    ]
+    ins = [
+        jnp.asarray(rng.randn(1, 8, 8, nf).astype(np.float32) * 0.3)
+        for _ in range(3)
+    ]
+    w_off = fused_weight_convs(ins, wp, jnp.float32)
+    with int8_scope(True):
+        w_on = fused_weight_convs(ins, wp, jnp.float32)
+    assert not np.array_equal(np.asarray(w_off[0]), np.asarray(w_on[0]))
+    ref_scale = max(np.abs(np.asarray(o)).max() for o in w_off)
+    for a, b in zip(w_off, w_on):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() <= 0.02 * ref_scale
+
+    # default allow_int8=False: identical lowering under the scope
+    k = jnp.asarray(rng.randn(3, 3, nf, nf).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(nf).astype(np.float32))
+    y_off = _conv(ins[0], k, b, jnp.float32)
+    with int8_scope(True):
+        y_on = _conv(ins[0], k, b, jnp.float32)
+    assert np.array_equal(np.asarray(y_off), np.asarray(y_on))
+
+
 @pytest.fixture(scope="module")
 def tiny_cfg_pair():
     from mudiff_tpu.config import brats_recipe
