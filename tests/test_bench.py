@@ -36,3 +36,41 @@ def test_build_sampler_sharded_runs():
     out = np.asarray(out)
     assert out.shape == (batch, 32, 32, 1)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_build_sampler_sharded_int8():
+    """`bench.py --dp N --int8`: the W8A8 serving path must compose with
+    the sharded sampler (quantize/rescale are per-example, so sharding
+    the batch axis cannot change results vs the same path unsharded)."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from mudiff_tpu.config import brats_recipe
+    from mudiff_tpu.parallel import make_mesh
+
+    # nf=64 so the Cin/Cout >= 64 routing band actually engages;
+    # 16^2 images keep the CPU compile small.
+    kw = dict(
+        image_size=16, num_channels_dae=64, ch_mult=(1,),
+        attn_resolutions=(8,), num_res_blocks=1, nz=8, ngf=8,
+        z_emb_dim=32, t_emb_dim=32, num_timesteps=2, use_bf16=True,
+    )
+    mesh = make_mesh(dp=8, fsdp=1)
+    batch = 8
+    outs = {}
+    for int8 in (False, True):
+        cfg = brats_recipe(use_int8=int8, **kw)
+        sampler, pg1, pg2, shard = bench.build_sampler(cfg, mesh)
+        c = jax.device_put(
+            jnp.zeros((batch, 16, 16, 1), jnp.float32), shard
+        )
+        x = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(0), (batch, 16, 16, 1)),
+            shard,
+        )
+        out = sampler(pg1, pg2, c, c, c, x, jax.random.PRNGKey(1))
+        outs[int8] = np.asarray(out)
+    assert np.isfinite(outs[True]).all()
+    # int8 routing engaged (outputs differ) but stays close to exact
+    assert not np.array_equal(outs[False], outs[True])
+    assert np.abs(outs[False] - outs[True]).max() < 0.15
