@@ -1,0 +1,64 @@
+"""A/B the W8A8 int8 serving mode against exact bf16 on a trained run.
+
+Drives the SAME test path as the run CLI (`infer.sample_and_test` +
+`metrics.evaluate_pair_dirs`) twice over one checkpoint — once exact,
+once with ``use_int8`` — into separate output dirs, and prints both
+metric rows plus the wall-clock of the sampling pass.  This is the
+quality-parity evidence for the serving mode (PERFORMANCE.md "int8
+serving"): the reference has no quantized path, so the bar is
+self-parity with the bf16 checkpoint, not a reference number.
+
+Usage:
+  python tools/ab_int8_quality.py -c experiments/phantom_flagship.yaml \
+      -e flagship128 [--out /tmp/int8_ab]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import yaml
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", default="experiments/phantom_flagship.yaml")
+    ap.add_argument("-e", "--experiment", default="flagship128")
+    ap.add_argument("--out", default="/tmp/int8_ab")
+    args = ap.parse_args()
+
+    from mudiff_tpu.cli.run import _config_from_yaml
+    from mudiff_tpu.infer import sample_and_test
+    from mudiff_tpu.metrics import evaluate_pair_dirs
+
+    with open(args.config) as f:
+        doc = yaml.safe_load(f)
+    exp = next(e for e in doc["experiments"]
+               if e["exp_name"] == args.experiment)
+    target = exp.get("target", "T1CE")
+    ckpt_dir = os.path.join(doc["output_root"], args.experiment, target)
+
+    rows = {}
+    for mode in ("bf16", "int8"):
+        cfg = _config_from_yaml(
+            dict(exp["test_args"], use_int8=(mode == "int8")),
+            doc.get("data_path", "/data/BRATS"), doc["output_root"],
+            args.experiment, target,
+        )
+        out_dir = os.path.join(args.out, args.experiment, mode)
+        t0 = time.time()
+        out = sample_and_test(cfg, ckpt_dir=ckpt_dir, output_dir=out_dir)
+        wall = time.time() - t0
+        metrics = evaluate_pair_dirs(out["pred_dir"], out["gt_dir"])
+        rows[mode] = {**metrics, "sample_and_test_s": round(wall, 1)}
+        print(mode, json.dumps(rows[mode]), flush=True)
+
+    print(json.dumps({"experiment": args.experiment, "target": target,
+                      "ab": rows}))
+
+
+if __name__ == "__main__":
+    main()
