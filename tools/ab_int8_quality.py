@@ -10,7 +10,7 @@ self-parity with the bf16 checkpoint, not a reference number.
 
 Usage:
   python tools/ab_int8_quality.py -c experiments/phantom_flagship.yaml \
-      -e flagship128 [--out /tmp/int8_ab]
+      -e flagship128 [--out /tmp/int8_ab]     # or -e all
 """
 
 from __future__ import annotations
@@ -36,28 +36,34 @@ def main() -> None:
 
     with open(args.config) as f:
         doc = yaml.safe_load(f)
-    exp = next(e for e in doc["experiments"]
-               if e["exp_name"] == args.experiment)
-    target = exp.get("target", "T1CE")
-    ckpt_dir = os.path.join(doc["output_root"], args.experiment, target)
+    if args.experiment == "all":
+        exps = doc["experiments"]
+    else:
+        exps = [e for e in doc["experiments"]
+                if e["exp_name"] == args.experiment]
+        if not exps:
+            raise SystemExit(f"no experiment {args.experiment!r}")
 
-    rows = {}
-    for mode in ("bf16", "int8"):
-        cfg = _config_from_yaml(
-            dict(exp["test_args"], use_int8=(mode == "int8")),
-            doc.get("data_path", "/data/BRATS"), doc["output_root"],
-            args.experiment, target,
-        )
-        out_dir = os.path.join(args.out, args.experiment, mode)
-        t0 = time.time()
-        out = sample_and_test(cfg, ckpt_dir=ckpt_dir, output_dir=out_dir)
-        wall = time.time() - t0
-        metrics = evaluate_pair_dirs(out["pred_dir"], out["gt_dir"])
-        rows[mode] = {**metrics, "sample_and_test_s": round(wall, 1)}
-        print(mode, json.dumps(rows[mode]), flush=True)
-
-    print(json.dumps({"experiment": args.experiment, "target": target,
-                      "ab": rows}))
+    for exp in exps:
+        name = exp["exp_name"]
+        target = exp.get("target", "T1CE")
+        ckpt_dir = os.path.join(doc["output_root"], name, target)
+        rows = {}
+        for mode in ("bf16", "int8"):
+            cfg = _config_from_yaml(
+                dict(exp["test_args"], use_int8=(mode == "int8")),
+                doc.get("data_path", "/data/BRATS"), doc["output_root"],
+                name, target,
+            )
+            out_dir = os.path.join(args.out, name, mode)
+            t0 = time.time()
+            out = sample_and_test(cfg, ckpt_dir=ckpt_dir, output_dir=out_dir)
+            wall = time.time() - t0
+            metrics = evaluate_pair_dirs(out["pred_dir"], out["gt_dir"])
+            rows[mode] = {**metrics, "sample_and_test_s": round(wall, 1)}
+            print(name, mode, json.dumps(rows[mode]), flush=True)
+        print(json.dumps({"experiment": name, "target": target,
+                          "ab": rows}), flush=True)
 
 
 if __name__ == "__main__":
