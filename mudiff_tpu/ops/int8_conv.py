@@ -69,8 +69,18 @@ def int8_conv_routed(cin: int, cout: int) -> bool:
     fusion gates) all have Cin >= 64 and Cout >= 64; everything below
     that (1-channel stems, nf->1 head) is both cheap and
     quality-critical, so it stays bf16.
+
+    ``MUDIFF_INT8_MIN_CH`` (default 64) raises the threshold for
+    routing A/Bs: the on-chip probe (tools/bench_int8.py) shows the
+    int8 path is ~2x bf16 at C256 but only ~27 TF/s at the 256^2*C64
+    group, so excluding narrow-channel convs (=128 keeps the 64^2*C256
+    and 128^2*C128 groups only) can win in-model even though it
+    quantizes fewer FLOPs.
     """
-    return cin >= 64 and cout >= 64
+    import os
+
+    min_ch = int(os.environ.get("MUDIFF_INT8_MIN_CH", "64"))
+    return cin >= min_ch and cout >= min_ch
 
 
 def quantize_weight(w: jnp.ndarray):

@@ -91,6 +91,16 @@ def test_routing_band():
     assert not int8_conv_routed(32, 32)
 
 
+def test_routing_threshold_env(monkeypatch):
+    monkeypatch.setenv("MUDIFF_INT8_MIN_CH", "128")
+    assert not int8_conv_routed(64, 64)   # 256^2*C64 group excluded
+    assert not int8_conv_routed(64, 128)
+    assert int8_conv_routed(128, 128)
+    assert int8_conv_routed(256, 256)
+    monkeypatch.delenv("MUDIFF_INT8_MIN_CH")
+    assert int8_conv_routed(64, 64)       # default band restored
+
+
 def test_conv3x3_param_tree_identical_and_routed():
     from mudiff_tpu.nn.layers import Conv3x3
 
