@@ -118,6 +118,12 @@ def main() -> None:
                 print(f"  {label:12s} FAILED: {type(e).__name__}: "
                       f"{str(e)[:200]}")
                 continue
+            if ms <= 0.0:
+                # chain_time clamps (total - overhead) at 0: the chain
+                # ran faster than the empty-chain RPC noise floor.
+                print(f"  {label:12s} <RPC noise floor (measured "
+                      f"{ms:.4f} ms) — raise --iters>")
+                continue
             tf = gflop / ms  # GFLOP / ms == TFLOP/s
             print(f"  {label:12s} {ms:8.3f} ms  {tf:6.1f} TF/s "
                   f"({100 * tf / peak:.0f}% of {peak:.0f} peak)")
