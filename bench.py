@@ -30,6 +30,7 @@ Prints ONE JSON line:
 import argparse
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -146,7 +147,12 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
             # fence for the final execution either
             float(jnp.sum(out))
             elapsed = time.perf_counter() - start
-            value = max(value or 0.0, batch * iters / elapsed)
+            rate = batch * iters / elapsed
+            # diagnostic only — the stdout contract stays ONE json line
+            print(f"[bench] batch={batch} iters={iters} "
+                  f"elapsed={elapsed:.2f}s rate={rate:.2f} slices/s",
+                  file=sys.stderr, flush=True)
+            value = max(value or 0.0, rate)
             tried_ok += 1
         except Exception as e:  # OOM at this batch -> halve
             # The axon remote-compile service surfaces HBM OOM as an
