@@ -22,6 +22,13 @@ Flags:
            number the day a pod slice exists.  `value` stays per-chip.
   --nf N   generator width (default 64 = the logged recipe; 128 = the
            canonical YAML recipe, experiments/cfg/local.yaml:27).
+  --bf16   exact bf16 serving.  The default is the W8A8 int8 MXU mode
+           (ops/int8_conv.py, routing threshold 2*nf): the flagship
+           quality A/B measured it quality-neutral (-0.065 dB PSNR on
+           the nf=128 held-out test split) and it never measured slower
+           than bf16 on chip — 22.7 vs 22.0 slices/s at nf=64, 11.4 vs
+           9.7 at nf=128, 9x at batch 1 (PERFORMANCE.md int8 section).
+           The scored JSON carries the mode in its "quant" field.
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "devices", "nf"}.
@@ -179,9 +186,14 @@ def main() -> None:
                     help="data-parallel devices (-1 = all visible)")
     ap.add_argument("--nf", type=int, default=64,
                     help="generator width (64 logged / 128 canonical)")
-    ap.add_argument("--int8", action="store_true", default=False,
+    ap.add_argument("--int8", action="store_true", default=True,
                     help="W8A8 int8 MXU serving mode (ops/int8_conv.py)"
-                         " — same checkpoints, trunk convs at 2x peak")
+                         " — the DEFAULT since the flagship quality A/B"
+                         " proved it quality-neutral (-0.065 dB) and it"
+                         " never measured slower (PERFORMANCE.md int8"
+                         " section); same checkpoints")
+    ap.add_argument("--bf16", dest="int8", action="store_false",
+                    help="exact bf16 serving (disables the int8 path)")
     args = ap.parse_args()
 
     from mudiff_tpu.config import brats_recipe

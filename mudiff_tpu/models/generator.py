@@ -110,7 +110,13 @@ class NCSNppGenerator(nn.Module):
         # training keeps the bf16 path (no straight-through estimator).
         from mudiff_tpu.ops.int8_conv import int8_scope
 
-        with int8_scope(self.config.use_int8 and not train):
+        # Routing threshold 2*nf: quantize every level EXCEPT the
+        # full-resolution nf-wide one — the on-chip winner at both
+        # flagship widths (PERFORMANCE.md int8 routing table).
+        with int8_scope(
+            self.config.use_int8 and not train,
+            min_ch=max(64, 2 * self.config.num_channels_dae),
+        ):
             return self._forward(
                 x, cond1, cond2, cond3, time_cond, z, pseudo_target, train
             )

@@ -52,34 +52,46 @@ def int8_enabled() -> bool:
 
 
 @contextlib.contextmanager
-def int8_scope(enabled: bool):
-    """Route eligible Conv3x3 calls through the int8 MXU path."""
+def int8_scope(enabled: bool, min_ch: int | None = None):
+    """Route eligible Conv3x3 calls through the int8 MXU path.
+
+    ``min_ch`` carries the model's routing threshold through the trace
+    (see :func:`int8_conv_routed`); the generator passes
+    ``max(64, 2 * nf)`` — the on-chip winner at both flagship widths.
+    """
     prev = getattr(_state, "enabled", False)
+    prev_min = getattr(_state, "min_ch", None)
     _state.enabled = bool(enabled)
+    _state.min_ch = min_ch
     try:
         yield
     finally:
         _state.enabled = prev
+        _state.min_ch = prev_min
 
 
 def int8_conv_routed(cin: int, cout: int) -> bool:
     """Quantize only the trunk shapes that carry the FLOPs.
 
-    The census groups (64^2*C256, 128^2*C128, 256^2*C64 and the G2
-    fusion gates) all have Cin >= 64 and Cout >= 64; everything below
-    that (1-channel stems, nf->1 head) is both cheap and
-    quality-critical, so it stays bf16.
-
-    ``MUDIFF_INT8_MIN_CH`` (default 64) raises the threshold for
-    routing A/Bs: the on-chip probe (tools/bench_int8.py) shows the
-    int8 path is ~2x bf16 at C256 but only ~27 TF/s at the 256^2*C64
-    group, so excluding narrow-channel convs (=128 keeps the 64^2*C256
-    and 128^2*C128 groups only) can win in-model even though it
-    quantizes fewer FLOPs.
+    The 1-channel stems and the nf->1 head are both cheap and
+    quality-critical, so they always stay bf16.  Among the trunk
+    shapes, the on-chip A/B sweep (PERFORMANCE.md int8 routing table)
+    found the winning threshold at BOTH flagship widths is
+    ``min_ch = 2 * nf`` — i.e. quantize everything EXCEPT the
+    full-resolution nf-wide level, whose convs are
+    quantize/rescale-bandwidth-bound (the raw probe shows the int8
+    path 2.8x faster than bf16 at 64^2*C256 but 3.5x slower at
+    256^2*C64).  The generator threads that default through
+    :func:`int8_scope`; ``MUDIFF_INT8_MIN_CH`` force-overrides it for
+    routing A/Bs (tools/bench_int8.py, bench.py sweeps).
     """
     import os
 
-    min_ch = int(os.environ.get("MUDIFF_INT8_MIN_CH", "64"))
+    env = os.environ.get("MUDIFF_INT8_MIN_CH")
+    if env is not None:
+        min_ch = int(env)
+    else:
+        min_ch = getattr(_state, "min_ch", None) or 64
     return cin >= min_ch and cout >= min_ch
 
 

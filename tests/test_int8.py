@@ -101,6 +101,23 @@ def test_routing_threshold_env(monkeypatch):
     assert int8_conv_routed(64, 64)       # default band restored
 
 
+def test_routing_threshold_scope(monkeypatch):
+    # the generator threads min_ch = max(64, 2*nf) through int8_scope
+    with int8_scope(True, min_ch=128):
+        assert not int8_conv_routed(64, 64)
+        assert int8_conv_routed(128, 128)
+        with int8_scope(True, min_ch=256):
+            assert not int8_conv_routed(128, 128)
+            assert int8_conv_routed(256, 256)
+        assert int8_conv_routed(128, 128)  # restored on exit
+    assert int8_conv_routed(64, 64)        # module default (64) outside
+    # env force-override beats the scope threshold (A/B tooling)
+    monkeypatch.setenv("MUDIFF_INT8_MIN_CH", "256")
+    with int8_scope(True, min_ch=64):
+        assert not int8_conv_routed(128, 128)
+        assert int8_conv_routed(256, 256)
+
+
 def test_conv3x3_param_tree_identical_and_routed():
     from mudiff_tpu.nn.layers import Conv3x3
 
