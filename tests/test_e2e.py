@@ -258,3 +258,27 @@ def test_export_png_pairs_shared_range(tmp_path):
     assert g.max() == 255
     # shared range keeps the 2x contrast gap visible in the uint8 export
     assert abs(int(p.max()) - 127) <= 1
+
+
+def test_check_pipeline_keeps_blocked_items_warm(tmp_path):
+    """The two environment-blocked capabilities (real BraTS runbook, real
+    LPIPS weights) are guarded by pre-flight assertions so code drift
+    fails loudly (round-3 verdict #7)."""
+    from mudiff_tpu.cli.check_pipeline import (
+        check_lpips_hooks,
+        check_runbook,
+    )
+
+    ok = lambda msg: None
+    assert check_lpips_hooks(ok) == []
+    assert check_runbook(ok) == []
+
+    # drift MUST be detected: a runbook flag the module stopped declaring
+    bad_readme = tmp_path / "README.md"
+    bad_readme.write_text(
+        "## Reproducing the paper table\n\n```bash\n"
+        "python -m mudiff_tpu.cli.metric_calc --pred_dir p --no_such_flag x\n"
+        "```\n"
+    )
+    errs = check_runbook(ok, readme_path=str(bad_readme))
+    assert errs and "--no_such_flag" in errs[0]
