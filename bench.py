@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_sampler(cfg, mesh=None):
+def build_sampler(cfg, mesh=None, int8_static=False):
     """Return (sampler_fn, params_g1, params_g2, shard) for the recipe."""
     from mudiff_tpu.diffusion import PosteriorCoefficients, sample_from_model
     from mudiff_tpu.models import NCSNppGenerator
@@ -61,6 +61,23 @@ def build_sampler(cfg, mesh=None):
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params_g1 = g1.init(k1, x1, x1, x1, x1, t1, z1)["params"]
     params_g2 = g2.init(k2, x1, x1, x1, x1, t1, z1, pseudo_target=x1)["params"]
+
+    if int8_static and cfg.use_int8:
+        # unit-scale calibration: same compute graph as a real one, zero
+        # device cost (abstract trace only) — valid for THROUGHPUT, not
+        # quality (infer/calibrate.synthetic_calib docstring)
+        from mudiff_tpu.infer.calibrate import synthetic_calib
+
+        c1 = synthetic_calib(g1, params_g1, (x1, x1, x1, x1, t1, z1))
+        c2 = synthetic_calib(
+            g2, params_g2, (x1, x1, x1, x1, t1, z1), pseudo_target=x1
+        )
+        g1 = NCSNppGenerator(config=cfg, dtype=dtype, int8_calib=c1)
+        g2 = NCSNppGenerator(
+            config=cfg, adaptive=True, dtype=dtype, int8_calib=c2
+        )
+        print(f"[bench] int8-static: {len(c1.sites)}+{len(c2.sites)} "
+              f"calibrated sites (min_ch={c1.min_ch})", file=sys.stderr)
 
     shard = None
     if mesh is not None:
@@ -88,7 +105,8 @@ def build_sampler(cfg, mesh=None):
     return sampler, params_g1, params_g2, shard
 
 
-def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
+def measure_throughput(cfg, mesh=None, batches=None, max_ok=2,
+                       int8_static=False):
     """Best sampling throughput (slices/sec, GLOBAL) over batch sizes."""
     if batches is None:
         # Each OOM discovery costs a full remote compile (~10 min at
@@ -98,7 +116,8 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2):
         batches = ((16, 8, 4, 2, 1) if cfg.num_channels_dae >= 128
                    else (64, 32, 16, 8, 4, 2, 1))
     n_dev = 1 if mesh is None else mesh.devices.size
-    sampler, pg1, pg2, shard = build_sampler(cfg, mesh)
+    sampler, pg1, pg2, shard = build_sampler(cfg, mesh,
+                                             int8_static=int8_static)
     s = cfg.image_size
     value = None
     tried_ok = 0
@@ -194,6 +213,13 @@ def main() -> None:
                          " section); same checkpoints")
     ap.add_argument("--bf16", dest="int8", action="store_false",
                     help="exact bf16 serving (disables the int8 path)")
+    ap.add_argument("--int8-static", dest="int8_static",
+                    action="store_true", default=False,
+                    help="static (calibrated-scale) int8 quantize: "
+                         "constant per-channel scales folded into the "
+                         "weights, no per-conv absmax reduce "
+                         "(infer/calibrate.py; unit scales here — "
+                         "throughput-representative, quality-irrelevant)")
     args = ap.parse_args()
 
     from mudiff_tpu.config import brats_recipe
@@ -206,7 +232,7 @@ def main() -> None:
         num_channels_dae=args.nf, image_size=256, use_bf16=True,
         use_int8=args.int8,
     )
-    value = measure_throughput(cfg, mesh)
+    value = measure_throughput(cfg, mesh, int8_static=args.int8_static)
 
     baseline_slices_per_sec = 6.0  # measured reference per-GPU throughput
     per_chip = value / n_dev
@@ -223,7 +249,8 @@ def main() -> None:
         ),
         "devices": n_dev,
         "nf": args.nf,
-        "quant": "int8-w8a8" if args.int8 else "bf16",
+        "quant": (("int8-w8a8-static" if args.int8_static else "int8-w8a8")
+                  if args.int8 else "bf16"),
     }))
 
 

@@ -121,6 +121,13 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     # training) — trunk 3x3 convs at 2x the bf16 peak, same checkpoints
     # (ops/int8_conv.py).
     p.add_argument("--use_int8", action="store_true", default=False)
+    # static (calibrated) activation scales for the int8 path: default
+    # auto (sidecars used when present), --int8_static requires them,
+    # --int8_dynamic forces per-example scales (infer/calibrate.py).
+    p.add_argument("--int8_static", dest="int8_static",
+                   action="store_true", default=None)
+    p.add_argument("--int8_dynamic", dest="int8_static",
+                   action="store_false")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--log_mem_after_update", action="store_true", default=False)
     p.add_argument("--debug_verbose", action="store_true", default=False)

@@ -94,6 +94,11 @@ class MuDiffConfig:
     # estimator; training stays bf16).  Param trees and checkpoints are
     # unchanged: any bf16-trained checkpoint serves quantized.
     use_int8: bool = False
+    # Static (calibrated) activation scales for the int8 path:
+    # None = auto (use the int8_calib_g{1,2}.json sidecars next to the
+    # checkpoint when they exist), True = require them, False = force
+    # dynamic per-example scales.  See infer/calibrate.py.
+    int8_static: Optional[bool] = None
     resume: bool = False
     pretrained_dir: Optional[str] = None
 

@@ -56,10 +56,31 @@ def load_generators(
     ckpt_dir: str,
     fallback_dir: Optional[str] = None,
 ):
-    """Init G1/G2 and load their weights (reference test.py:202-232)."""
+    """Init G1/G2 and load their weights (reference test.py:202-232).
+
+    int8 + static calibration: when ``config.use_int8`` and the
+    ``int8_calib_g{1,2}.json`` sidecars exist next to the checkpoint
+    (written by tools/calibrate_int8.py), the generators serve with
+    static per-channel activation scales; ``config.int8_static`` forces
+    the choice (True = require sidecars, False = dynamic scales).
+    """
     dtype = jnp.bfloat16 if config.use_bf16 else jnp.float32
-    g1 = NCSNppGenerator(config=config, dtype=dtype)
-    g2 = NCSNppGenerator(config=config, adaptive=True, dtype=dtype)
+    calib1 = calib2 = None
+    if config.use_int8 and config.int8_static is not False:
+        from mudiff_tpu.infer.calibrate import calib_sidecar_paths, load_calib
+
+        p1, p2 = calib_sidecar_paths(ckpt_dir)
+        if os.path.isfile(p1) and os.path.isfile(p2):
+            calib1, calib2 = load_calib(p1), load_calib(p2)
+        elif config.int8_static:
+            raise FileNotFoundError(
+                f"int8_static requires calibration sidecars {p1} / {p2} — "
+                "run tools/calibrate_int8.py first"
+            )
+    g1 = NCSNppGenerator(config=config, dtype=dtype, int8_calib=calib1)
+    g2 = NCSNppGenerator(
+        config=config, adaptive=True, dtype=dtype, int8_calib=calib2
+    )
     s = config.image_size
     x = jnp.zeros((1, s, s, config.num_channels), jnp.float32)
     t = jnp.zeros((1,), jnp.int32)

@@ -90,6 +90,14 @@ class NCSNppGenerator(nn.Module):
     # at :620-631/:755-759).
     num_conditions: int = 3
     dtype: Dtype = jnp.float32
+    # Optional static int8 activation calibration (ops/int8_conv.py).
+    # A module field so a calibrated and an uncalibrated model can never
+    # share a jit trace; None = dynamic per-example scales.
+    int8_calib: Optional[Any] = None
+    # Routing-threshold override for calibration/A-B runs (None = the
+    # width-aware default max(64, 2*nf)); a calibration's own threshold
+    # still wins once int8_calib is set.
+    int8_min_ch: Optional[int] = None
 
     def __call__(
         self,
@@ -112,10 +120,14 @@ class NCSNppGenerator(nn.Module):
 
         # Routing threshold 2*nf: quantize every level EXCEPT the
         # full-resolution nf-wide one — the on-chip winner at both
-        # flagship widths (PERFORMANCE.md int8 routing table).
+        # flagship widths under dynamic scales (PERFORMANCE.md int8
+        # routing table).  A static calibration (int8_calib) overrides
+        # the threshold with the one it was recorded under.
         with int8_scope(
             self.config.use_int8 and not train,
-            min_ch=max(64, 2 * self.config.num_channels_dae),
+            min_ch=(self.int8_min_ch
+                    or max(64, 2 * self.config.num_channels_dae)),
+            calib=self.int8_calib,
         ):
             return self._forward(
                 x, cond1, cond2, cond3, time_cond, z, pseudo_target, train

@@ -74,3 +74,35 @@ def test_build_sampler_sharded_int8():
     # int8 routing engaged (outputs differ) but stays close to exact
     assert not np.array_equal(outs[False], outs[True])
     assert np.abs(outs[False] - outs[True]).max() < 0.15
+
+
+def test_build_sampler_int8_static():
+    """`bench.py --int8-static`: the synthetic (unit-scale) calibration
+    must carry the real site list and produce a runnable static-int8
+    sampler whose outputs stay finite and close to the exact path."""
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from mudiff_tpu.config import brats_recipe
+
+    kw = dict(
+        image_size=16, num_channels_dae=64, ch_mult=(1,),
+        attn_resolutions=(8,), num_res_blocks=1, nz=8, ngf=8,
+        z_emb_dim=32, t_emb_dim=32, num_timesteps=2, use_bf16=True,
+    )
+    batch = 4
+    outs = {}
+    for mode in ("bf16", "static"):
+        cfg = brats_recipe(use_int8=(mode == "static"), **kw)
+        sampler, pg1, pg2, _ = bench.build_sampler(
+            cfg, None, int8_static=(mode == "static")
+        )
+        c = jnp.zeros((batch, 16, 16, 1), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, 16, 16, 1))
+        outs[mode] = np.asarray(
+            sampler(pg1, pg2, c, c, c, x, jax.random.PRNGKey(1))
+        )
+    assert np.isfinite(outs["static"]).all()
+    assert not np.array_equal(outs["bf16"], outs["static"])
+    # unit scales are coarse (activations << 1 use a tiny slice of the
+    # int8 grid) — bound loose, finiteness and divergence are the point
+    assert np.abs(outs["bf16"] - outs["static"]).max() < 1.0

@@ -286,3 +286,145 @@ def test_adaptive_generator_int8_mode(tiny_cfg_pair):
     assert np.isfinite(y8).all()
     assert not np.array_equal(y0, y8)
     assert np.abs(y0 - y8).max() <= 0.1
+
+
+# ---------------------------------------------------------------------------
+# static (calibrated) activation scales — round 4
+# ---------------------------------------------------------------------------
+
+
+def test_record_scope_collects_sites():
+    from mudiff_tpu.ops.int8_conv import record_scope
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 64, 128).astype(np.float32) * 0.05)
+    sink = []
+    with int8_scope(True), record_scope(sink):
+        int8_conv3x3(x, w, None, compute_dtype=jnp.float32)
+        int8_conv3x3(
+            jnp.concatenate([x, x], -1),
+            jnp.asarray(rng.randn(3, 3, 128, 64).astype(np.float32) * 0.05),
+            None, compute_dtype=jnp.float32,
+        )
+    assert [(s[0], s[1]) for s in sink] == [(64, 128), (128, 64)]
+    # per-channel absmax over (B, H, W)
+    np.testing.assert_allclose(
+        np.asarray(sink[0][2]), np.abs(np.asarray(x)).max(axis=(0, 1, 2)),
+        rtol=1e-6,
+    )
+
+
+def test_static_int8_conv_matches_and_beats_dynamic_on_skewed_channels():
+    """Static per-channel scales: (a) close to the exact conv, (b) lower
+    error than dynamic per-example scales when channel ranges are skewed
+    (the GroupNorm'd-activation case the scheme is built for)."""
+    from mudiff_tpu.ops.int8_conv import Int8Calib
+
+    rng = np.random.RandomState(8)
+    x = rng.randn(2, 16, 16, 64).astype(np.float32)
+    x *= np.logspace(-2, 1, 64, dtype=np.float32)  # skewed channel ranges
+    xj = jnp.asarray(x)
+    w = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ref = np.asarray(_ref_conv(xj, w, b))
+
+    absmax_c = tuple(float(v) for v in np.abs(x).max(axis=(0, 1, 2)))
+    calib = Int8Calib(min_ch=64, sites=((64, 64, absmax_c),))
+    with int8_scope(True, calib=calib):
+        y_static = np.asarray(
+            int8_conv3x3(xj, w, b, compute_dtype=jnp.float32), np.float32
+        )
+    y_dyn = np.asarray(
+        int8_conv3x3(xj, w, b, compute_dtype=jnp.float32), np.float32
+    )
+    scale = np.abs(ref).max()
+    err_static = np.abs(y_static - ref).max()
+    err_dyn = np.abs(y_dyn - ref).max()
+    assert err_static <= 0.02 * scale
+    assert err_static < err_dyn  # per-channel grid wins on skewed ranges
+
+
+def test_static_calib_drift_raises():
+    from mudiff_tpu.ops.int8_conv import Int8Calib
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 8, 8, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    # wrong signature
+    calib = Int8Calib(min_ch=64, sites=((128, 64, tuple([1.0] * 128)),))
+    with int8_scope(True, calib=calib):
+        with pytest.raises(ValueError, match="drift"):
+            int8_conv3x3(x, w, None, compute_dtype=jnp.float32)
+    # too few sites
+    calib2 = Int8Calib(min_ch=64, sites=())
+    with int8_scope(True, calib=calib2):
+        with pytest.raises(ValueError, match="site"):
+            int8_conv3x3(x, w, None, compute_dtype=jnp.float32)
+
+
+def test_calib_json_roundtrip(tmp_path):
+    from mudiff_tpu.infer.calibrate import load_calib, save_calib
+    from mudiff_tpu.ops.int8_conv import Int8Calib
+
+    calib = Int8Calib(
+        min_ch=128,
+        sites=((64, 128, (1.0, 2.5)), (128, 64, (0.25,))),
+    )
+    p = save_calib(str(tmp_path / "c.json"), calib)
+    assert load_calib(p) == calib
+
+
+def test_calibrate_sampler_end_to_end(tiny_cfg_pair):
+    """Record -> build Int8Calib -> serve statically: the calibrated
+    generators must stay close to the exact model AND to the dynamic
+    int8 model, and the calibration must carry one site per routed conv
+    for both generators."""
+    from mudiff_tpu.diffusion import PosteriorCoefficients
+    from mudiff_tpu.infer.calibrate import calibrate_sampler
+    from mudiff_tpu.models import NCSNppGenerator
+
+    cfg0, cfg8 = tiny_cfg_pair
+    s = cfg0.image_size
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(2, s, s, 1).astype(np.float32) * 0.3)
+    t = jnp.asarray([1, 0], jnp.int32)
+    z = jnp.asarray(rng.randn(2, cfg0.nz).astype(np.float32))
+
+    g1 = NCSNppGenerator(config=cfg8)
+    g2 = NCSNppGenerator(config=cfg8, adaptive=True)
+    p1 = g1.init(jax.random.PRNGKey(0), x, x, x, x, t, z)["params"]
+    p2 = g2.init(
+        jax.random.PRNGKey(1), x, x, x, x, t, z, pseudo_target=x
+    )["params"]
+    post = PosteriorCoefficients.from_config(cfg8)
+
+    batches = [(np.asarray(x), np.asarray(x), np.asarray(x))]
+    c1, c2 = calibrate_sampler(
+        g1, g2, p1, p2, post, batches, jax.random.PRNGKey(2),
+        cfg8.num_timesteps, cfg8.nz, compute_dtype=jnp.float32,
+    )
+    assert c1.min_ch == max(64, 2 * cfg8.num_channels_dae)
+    assert len(c1.sites) > 0 and len(c2.sites) > 0
+    for ci, co, a in c1.sites + c2.sites:
+        assert len(a) == ci
+        assert all(v >= 0.0 for v in a)
+
+    g1s = NCSNppGenerator(config=cfg8, int8_calib=c1)
+    g2s = NCSNppGenerator(config=cfg8, adaptive=True, int8_calib=c2)
+    g1e = NCSNppGenerator(config=cfg0)
+    y_exact = np.asarray(
+        g1e.apply({"params": p1}, x, x, x, x, t, z), np.float32
+    )
+    y_static = np.asarray(
+        g1s.apply({"params": p1}, x, x, x, x, t, z), np.float32
+    )
+    assert np.isfinite(y_static).all()
+    assert not np.array_equal(y_exact, y_static)
+    assert np.abs(y_exact - y_static).max() <= 0.1
+
+    y2 = np.asarray(
+        g2s.apply({"params": p2}, x, x, x, x, t, z, pseudo_target=x),
+        np.float32,
+    )
+    assert np.isfinite(y2).all()

@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("-c", "--config", default="experiments/phantom_flagship.yaml")
     ap.add_argument("-e", "--experiment", default="flagship128")
     ap.add_argument("--out", default="/tmp/int8_ab")
+    ap.add_argument("--static", action="store_true",
+                    help="add the int8-static leg (calibrated scales; "
+                         "run tools/calibrate_int8.py first so the "
+                         "int8_calib_g{1,2}.json sidecars exist)")
     args = ap.parse_args()
 
     from mudiff_tpu.cli.run import _config_from_yaml
@@ -49,9 +53,12 @@ def main() -> None:
         target = exp.get("target", "T1CE")
         ckpt_dir = os.path.join(doc["output_root"], name, target)
         rows = {}
-        for mode in ("bf16", "int8"):
+        modes = ("bf16", "int8", "int8-static") if args.static else (
+            "bf16", "int8")
+        for mode in modes:
             cfg = _config_from_yaml(
-                dict(exp["test_args"], use_int8=(mode == "int8")),
+                dict(exp["test_args"], use_int8=mode.startswith("int8"),
+                     int8_static=(mode == "int8-static")),
                 doc.get("data_path", "/data/BRATS"), doc["output_root"],
                 name, target,
             )
