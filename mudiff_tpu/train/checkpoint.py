@@ -10,6 +10,14 @@ Reference artifact kinds (engine/train.py:1107-1140):
 Here both are orbax directory checkpoints of plain pytrees; there is no
 DDP "module." prefix to strip and the optimizer/schedule state rides in
 the same pytree (reference test.py:209-211 prefix games are gone).
+
+Multi-host discipline (reference rank-0 guards, engine/train.py:469,
+624-639, 1085-1140): every process CALLS these functions — the host
+gather is a collective (``process_allgather``) and orbax's own
+primary-host logic serializes the actual writes + commit barrier — so
+none of them may be wrapped in a ``process_index() == 0`` guard by the
+caller.  The exp dir must be a filesystem every process can reach
+(shared FS on pods; plain /tmp on one host).
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from typing import Any, Optional, Tuple
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding
 
 from mudiff_tpu.train.state import MutualTrainState
 
@@ -31,7 +40,22 @@ def _ckptr() -> ocp.PyTreeCheckpointer:
 
 
 def _to_host(tree: PyTree) -> PyTree:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Fetch a pytree to host numpy, multi-host-safe.
+
+    ``np.asarray`` raises on arrays whose shards live partly on other
+    processes (replicated params on a 2-process mesh, fsdp-sharded opt
+    state); those leaves are gathered with ``process_allgather`` — a
+    COLLECTIVE, which is why checkpoint saves must be called by every
+    process.
+    """
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def _norm_path(path) -> Tuple[str, ...]:
@@ -79,9 +103,18 @@ def _restore_like(template: PyTree, saved: PyTree) -> PyTree:
                 f"example saved paths: "
                 f"{['/'.join(k) for k in sorted(s_map)[:4]]}"
             )
-        leaves.append(
-            jax.numpy.asarray(s_map[key], dtype=t.dtype).reshape(t.shape)
-        )
+        val = jax.numpy.asarray(s_map[key], dtype=t.dtype).reshape(t.shape)
+        # Re-establish the template leaf's mesh layout.  Restored leaves
+        # are host-local; on a multi-process mesh a later pjit step would
+        # reject them (all operands must be global arrays), and even
+        # single-host fsdp layouts are better restored explicitly than
+        # re-inferred by the next jit.
+        if (
+            isinstance(t, jax.Array)
+            and isinstance(getattr(t, "sharding", None), NamedSharding)
+        ):
+            val = jax.device_put(val, t.sharding)
+        leaves.append(val)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -39,9 +39,33 @@ def _to_range_0_1(x: np.ndarray) -> np.ndarray:
     return (x + 1.0) / 2.0
 
 
+def _host_value(x) -> np.ndarray:
+    """Fetch an array to host numpy, multi-host-safe.
+
+    Batch outputs on a multi-process mesh are not fully addressable;
+    ``np.asarray`` would raise.  The gather is a collective — every
+    process must reach this call (they all run the same SPMD loop).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
-    """Run the full training job; returns paths of produced artifacts."""
-    log = print if verbose else (lambda *a, **k: None)
+    """Run the full training job; returns paths of produced artifacts.
+
+    Multi-host discipline (reference rank-0 guards,
+    engine/train.py:469,624-639,1085-1140): compute — steps, validation
+    sampling, checkpoint *gathers* — runs on every process (SPMD);
+    exp-dir side effects (config/history json, collages, sample grids,
+    val npy arrays) are written by process 0 only.  Checkpoint saves are
+    called by every process (the gather inside is a collective; orbax
+    serializes the actual write — train/checkpoint.py docstring).
+    """
+    lead = jax.process_index() == 0
+    log = print if (verbose and lead) else (lambda *a, **k: None)
     exp_dir = os.path.join(
         config.output_path, config.exp, config.target_modality
     )
@@ -49,25 +73,26 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
 
     # Provenance (reference copies train.py + backbones/ into the exp dir,
     # engine/train.py:624-639; a typed config + git commit is the
-    # equivalent record here).
-    try:
-        import json as _json
-        import subprocess as _sp
-
-        prov = {"config": config.to_dict()}
+    # equivalent record here).  Rank-0-guarded like the reference's copy.
+    if lead:
         try:
-            prov["git_commit"] = _sp.run(
-                ["git", "rev-parse", "HEAD"], capture_output=True,
-                text=True, timeout=5,
-                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)))),
-            ).stdout.strip()
+            import json as _json
+            import subprocess as _sp
+
+            prov = {"config": config.to_dict()}
+            try:
+                prov["git_commit"] = _sp.run(
+                    ["git", "rev-parse", "HEAD"], capture_output=True,
+                    text=True, timeout=5,
+                    cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))),
+                ).stdout.strip()
+            except Exception:
+                pass
+            with open(os.path.join(exp_dir, "train_config.json"), "w") as f:
+                _json.dump(prov, f, indent=2, default=str)
         except Exception:
             pass
-        with open(os.path.join(exp_dir, "train_config.json"), "w") as f:
-            _json.dump(prov, f, indent=2, default=str)
-    except Exception:
-        pass
 
     # ---- data ----------------------------------------------------------
     # slice datasets always yield 1-channel images; force num_channels
@@ -179,7 +204,25 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
         # reference's fail-fast + resubmit flow, SURVEY.md §5): on
         # SIGTERM/SIGINT finish the current step, save a full content
         # checkpoint, and exit cleanly so --resume continues.
+        # Multi-host: the checkpoint save is a collective, so the flag
+        # must be AGREED across processes before acting on it.  Pod
+        # schedulers (SLURM, GKE) signal every host, but delivery skew
+        # is real; _stop_agreed() or-reduces the local flags.  It is
+        # checked at the log cadence — where the host already blocks on
+        # metric fetches — so the async dispatch pipeline between log
+        # points is untouched.
         _stop_requested = {"flag": False}
+        n_proc = jax.process_count()
+
+        def _stop_agreed() -> bool:
+            if n_proc == 1:
+                return _stop_requested["flag"]
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([_stop_requested["flag"]])
+            )
+            return bool(np.any(flags))
 
         def _on_term(signum, frame):
             _stop_requested["flag"] = True
@@ -223,7 +266,14 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 global_step += 1
                 ep_count += 1
 
-                if _stop_requested["flag"]:
+                # single-host: act on the signal immediately.  multi-host:
+                # only at the log cadence (see _stop_agreed above), since
+                # the check itself is a collective.
+                _check_now = n_proc == 1 or (
+                    config.log_every
+                    and (it + 1) % config.log_every == 0
+                )
+                if _check_now and _stop_agreed():
                     ckpt.save_content(exp_dir, state, epoch, global_step)
                     log(f"[signal] content checkpoint saved at epoch "
                         f"{epoch}, step {global_step}; exiting")
@@ -291,12 +341,13 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                     )
                     pg1, pg2 = state.generator_params(use_ema_weights=False)
                     fake = sample_fn(pg1, pg2, c1, c2, c3, x_init, k_s)
-                    samples_np = np.asarray(fake)
-                    real_np = np.asarray(real)
-                    save_image_grid(
-                        _to_range_0_1(samples_np),
-                        os.path.join(exp_dir, f"sample_epoch_{epoch}.png"),
-                    )
+                    samples_np = _host_value(fake)
+                    real_np = _host_value(real)
+                    if lead:
+                        save_image_grid(
+                            _to_range_0_1(samples_np),
+                            os.path.join(exp_dir, f"sample_epoch_{epoch}.png"),
+                        )
                 except Exception as e:  # preview must never kill training
                     log(f"[WARN] preview sampling failed: {e}")
 
@@ -308,8 +359,8 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 x_init = jax.random.normal(k_init, real.shape, jnp.float32)
                 pg1, pg2 = state.generator_params(use_ema_weights=False)
                 fake = sample_fn(pg1, pg2, c1, c2, c3, x_init, k_s)
-                f01 = _to_range_0_1(np.asarray(fake))
-                r01 = _to_range_0_1(np.asarray(real))
+                f01 = _to_range_0_1(_host_value(fake))
+                r01 = _to_range_0_1(_host_value(real))
                 l1 = float(np.mean(np.abs(f01 - r01)))
                 p = psnr_fn(r01, f01, data_range=1.0)
                 vl1.append(l1)
@@ -326,20 +377,24 @@ def train(config: MuDiffConfig, verbose: bool = True) -> Dict[str, str]:
                 + " ".join(f"{k}={v:.4f}" for k, v in summary.items())
             )
 
-            # history + plots + collage
-            epoch_visual_report(
-                exp_dir=exp_dir,
-                epoch=epoch,
-                losses=summary,
-                val_l1=mean_l1,
-                val_psnr=mean_psnr,
-                epoch_time=epoch_time,
-                samples=samples_np,
-                reals=real_np,
-                history_path=history_path,
-            )
-            np.save(os.path.join(exp_dir, "val_l1_loss.npy"), val_l1)
-            np.save(os.path.join(exp_dir, "val_psnr_values.npy"), val_psnr)
+            # history + plots + collage (rank-0 writes, like the
+            # reference's epoch_visual_report guard)
+            if lead:
+                epoch_visual_report(
+                    exp_dir=exp_dir,
+                    epoch=epoch,
+                    losses=summary,
+                    val_l1=mean_l1,
+                    val_psnr=mean_psnr,
+                    epoch_time=epoch_time,
+                    samples=samples_np,
+                    reals=real_np,
+                    history_path=history_path,
+                )
+                np.save(os.path.join(exp_dir, "val_l1_loss.npy"), val_l1)
+                np.save(
+                    os.path.join(exp_dir, "val_psnr_values.npy"), val_psnr
+                )
 
             # checkpoints
             if config.save_content and (
