@@ -155,12 +155,34 @@ class Combine(nn.Module):
         raise ValueError(f"Method {self.method} not recognized.")
 
 
+def _attn_impl() -> str:
+    """Attention lowering, selected at TRACE time (jit caches per trace,
+    so flip the env only when building a fresh jitted closure —
+    bench.py/tools rebuild per run, same contract as MUDIFF_GEMM_CONV).
+
+    * ``einsum`` (default): fp32 scores + fp32 softmax — the exact-parity
+      path (reference layerspp.py:116-124 computes fp32 throughout).
+    * ``bf16``: scores materialize as bf16 (fp32 MXU accumulation), the
+      softmax runs with fp32 internals fused around the bf16 buffers —
+      halves the [B,HW,HW] HBM traffic, the attention cost driver at
+      64^2 (2.1 GB of fp32 scores at B=32).
+    * ``flash``: blockwise Pallas kernel (never materializes the score
+      matrix); TPU only — on the CPU backend it falls back to the exact
+      einsum so the test suite stays hardware-independent.
+    """
+    import os
+
+    return os.environ.get("MUDIFF_ATTN", "einsum")
+
+
 class AttnBlockpp(nn.Module):
     """Full spatial self-attention with NIN q/k/v and skip rescale
     (reference layerspp.py:98-137).
 
     Scores are computed in fp32 for softmax stability; the einsum
     formulation lets XLA tile both (HW x HW) matmuls onto the MXU.
+    ``MUDIFF_ATTN`` selects cheaper score lowerings (see _attn_impl);
+    the param tree is identical for all of them.
     """
 
     skip_rescale: bool = False
@@ -178,14 +200,37 @@ class AttnBlockpp(nn.Module):
         q = q.reshape(b, hh * ww, c)
         k = k.reshape(b, hh * ww, c)
         v = v.reshape(b, hh * ww, c)
-        scores = jnp.einsum(
-            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
-        ) * (int(c) ** (-0.5))
-        w = jax.nn.softmax(scores, axis=-1)
-        h = jnp.einsum(
-            "bqk,bkc->bqc", w.astype(self.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        impl = _attn_impl()
+        if impl == "flash" and jax.default_backend() == "cpu":
+            impl = "einsum"
+        if impl == "flash":
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            h = flash_attention(
+                q[:, None], k[:, None], v[:, None],
+                sm_scale=float(int(c) ** (-0.5)),
+            )[:, 0].astype(self.dtype)
+        elif impl == "bf16":
+            scores = jnp.einsum(
+                "bqc,bkc->bqk", q, k, preferred_element_type=jnp.bfloat16
+            ) * jnp.bfloat16(int(c) ** (-0.5))
+            w = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
+            h = jnp.einsum(
+                "bqk,bkc->bqc", w, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+        else:
+            scores = jnp.einsum(
+                "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+            ) * (int(c) ** (-0.5))
+            w = jax.nn.softmax(scores, axis=-1)
+            h = jnp.einsum(
+                "bqk,bkc->bqc", w.astype(self.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         h = h.reshape(b, hh, ww, c)
         h = NIN(c, init_scale=self.init_scale, dtype=self.dtype, name="NIN_3")(h)
         if not self.skip_rescale:

@@ -309,3 +309,33 @@ def test_multichannel_config_runs(adaptive):
     out = g.apply({"params": p}, x, x, x, x, t, z, **kw)
     assert out.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attn_impl_variants(monkeypatch):
+    """MUDIFF_ATTN lowerings: identical param tree, bf16 variant close to
+    the exact fp32 path, flash falls back to exact on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from mudiff_tpu.nn.blocks import AttnBlockpp
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    m = AttnBlockpp(skip_rescale=True, dtype=jnp.float32)
+    monkeypatch.delenv("MUDIFF_ATTN", raising=False)
+    p = m.init(jax.random.PRNGKey(0), x)
+    y_exact = np.asarray(m.apply(p, x), np.float32)
+
+    monkeypatch.setenv("MUDIFF_ATTN", "bf16")
+    p_b = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p_b)
+    y_bf16 = np.asarray(m.apply(p, x), np.float32)
+    assert not np.array_equal(y_exact, y_bf16)
+    # bf16 scores shift the softmax by O(2^-8) relative — output stays close
+    scale = np.abs(y_exact).max()
+    assert np.abs(y_exact - y_bf16).max() <= 0.02 * scale
+
+    monkeypatch.setenv("MUDIFF_ATTN", "flash")
+    if jax.default_backend() == "cpu":
+        y_flash = np.asarray(m.apply(p, x), np.float32)
+        np.testing.assert_array_equal(y_exact, y_flash)
