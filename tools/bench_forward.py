@@ -6,9 +6,17 @@ iterated inside ONE jit with a data dependency between iterations and
 the cost of an empty chain is subtracted (see tools/bench_stem.py).
 
 python tools/bench_forward.py [--batch 32] [--nf 64] [--chain 10]
+    [--int8 | --int8-static] [--min-ch N] [--attn einsum|bf16|flash]
+
+The int8/attention flags make this the in-model attribution tool for
+the round-4 census: the delta between two modes' forward times IS the
+integration cost of that mode's extra graph (quantize reduces, rescale
+epilogues, score materialization), measured with the elision-proof
+chained protocol.
 """
 
 import argparse
+import os
 import time
 
 import jax
@@ -22,17 +30,33 @@ def main():
     ap.add_argument("--nf", type=int, default=64)
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--chain", type=int, default=10)
+    ap.add_argument("--int8", action="store_true",
+                    help="dynamic W8A8 int8 serving mode")
+    ap.add_argument("--int8-static", dest="int8_static",
+                    action="store_true",
+                    help="static (unit-scale synthetic calib) int8 mode")
+    ap.add_argument("--min-ch", dest="min_ch", type=int, default=None,
+                    help="int8 routing threshold override")
+    ap.add_argument("--attn", default=None,
+                    choices=("einsum", "bf16", "flash"),
+                    help="attention lowering (sets MUDIFF_ATTN)")
     args = ap.parse_args()
+
+    if args.attn:
+        os.environ["MUDIFF_ATTN"] = args.attn
 
     from mudiff_tpu.config import brats_recipe
     from mudiff_tpu.models import NCSNppGenerator
 
+    use_int8 = args.int8 or args.int8_static
     cfg = brats_recipe(
-        num_channels_dae=args.nf, image_size=args.image_size, use_bf16=True
+        num_channels_dae=args.nf, image_size=args.image_size,
+        use_bf16=True, use_int8=use_int8,
     )
     dtype = jnp.bfloat16
-    g1 = NCSNppGenerator(config=cfg, dtype=dtype)
-    g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=dtype)
+    g1 = NCSNppGenerator(config=cfg, dtype=dtype, int8_min_ch=args.min_ch)
+    g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=dtype,
+                         int8_min_ch=args.min_ch)
 
     s = cfg.image_size
     b = args.batch
@@ -42,6 +66,19 @@ def main():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     p1 = g1.init(k1, x1, x1, x1, x1, t1, z1)["params"]
     p2 = g2.init(k2, x1, x1, x1, x1, t1, z1, pseudo_target=x1)["params"]
+
+    if args.int8_static:
+        from mudiff_tpu.infer.calibrate import synthetic_calib
+
+        c1 = synthetic_calib(g1, p1, (x1, x1, x1, x1, t1, z1),
+                             min_ch=args.min_ch)
+        c2 = synthetic_calib(g2, p2, (x1, x1, x1, x1, t1, z1),
+                             min_ch=args.min_ch, pseudo_target=x1)
+        g1 = NCSNppGenerator(config=cfg, dtype=dtype, int8_calib=c1)
+        g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=dtype,
+                             int8_calib=c2)
+        print(f"int8-static: {len(c1.sites)}/{len(c2.sites)} sites "
+              f"(min_ch={c1.min_ch})", flush=True)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, s, s, 1).astype(np.float32))
