@@ -61,9 +61,13 @@ def census(hlo_text: str):
             continue
         op = opm.group(1)
         out_dtype, out_shape = _parse_shape(rhs.split(" ", 1)[0])
+        # the operand list is the paren group right after the op name —
+        # NOT the first '(' in the line, which sits inside the layout
+        # annotation (e.g. {3,0,2,1:T(8,128)(2,1)})
+        argm = re.search(re.escape(op) + r"\(([^)]*)\)", rhs)
+        arg_str = argm.group(1) if argm else ""
         if op == "convolution":
-            operands = re.findall(r"%([\w.\-]+)", rhs.split("(", 1)[1]
-                                  .split(")", 1)[0])
+            operands = re.findall(r"%([\w.\-]+)", arg_str)
             if len(operands) >= 2:
                 in_dtype, in_shape = resolve(operands[0])
                 k_dtype, k_shape = resolve(operands[1])
@@ -87,8 +91,7 @@ def census(hlo_text: str):
             convs[key][0] += 1
             convs[key][1] += flops
         elif op == "reduce":
-            operands = re.findall(r"%([\w.\-]+)", rhs.split("(", 1)[1]
-                                  .split(")", 1)[0])
+            operands = re.findall(r"%([\w.\-]+)", arg_str)
             if operands:
                 d, s = resolve(operands[0])
                 in_sig = f"{d}[{','.join(map(str, s))}]"
