@@ -114,8 +114,56 @@ def block_diag_conv2(kernels: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return out
 
 
+def grouped_stems() -> int:
+    """Group count for lowering the block-diagonal stem/weight fusions
+    as GROUPED convs (``feature_group_count``) instead of one dense
+    block-diagonal kernel.
+
+    The dense form burns N of the MXU's contracting dimension on exact
+    zeros — N x the useful FLOPs (2.47 of G1's 13.4 conv TFLOP at nf=64
+    B=32 is one such conv, tools/census_hlo.py) — but packs the MXU
+    densely.  ``MUDIFF_GROUPED_STEMS=g`` splits the N stems into g
+    super-groups: each group is a (N/g)-stem block-diagonal sub-kernel,
+    so g=N is the pure grouped form (only useful FLOPs, F-wide groups
+    that underfill the 128-lane MXU) and g=2 halves the waste while
+    keeping 2F-wide (=128 at nf=64) groups.  Measured on chip
+    (PERFORMANCE.md round 4): g=4/5 LOSES by ~13% (XLA lowers narrow
+    groups poorly), g=2 is the interesting middle — the default here
+    records the winner.  All forms are numerically identical (the dense
+    form's extra terms are exact zeros) with an identical param tree;
+    the choice is a trace-time lowering detail.  Fusions whose stem
+    count g does not divide fall back to dense.
+    """
+    import os
+
+    return int(os.environ.get("MUDIFF_GROUPED_STEMS", "1") or "1")
+
+
+def _super_group_kernel(kernels: Sequence[jnp.ndarray], g: int):
+    """Concatenate g block-diagonal chunk kernels along Cout.
+
+    kernels: N per-stem (3,3,Cin_i,F) kernels with equal shapes.  The
+    result is (3,3, (N/g)*Cin_i, N*F), valid as a feature_group_count=g
+    conv kernel over the stem-stacked input."""
+    n = len(kernels)
+    assert n % g == 0
+    m = n // g
+    cin = kernels[0].shape[2]
+    f = kernels[0].shape[3]
+    chunks = []
+    for ci in range(g):
+        sub = kernels[ci * m:(ci + 1) * m]
+        if cin == 1:
+            blk = block_diag_conv1(sub)  # (3,3,m,m*F)
+        else:
+            blk = block_diag_conv2(sub)  # (3,3,m*cin,m*F)
+        chunks.append(blk)
+    return jnp.concatenate(chunks, axis=-1)
+
+
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-          dtype, allow_int8: bool = False) -> jnp.ndarray:
+          dtype, allow_int8: bool = False,
+          groups: int = 1) -> jnp.ndarray:
     """Match flax nn.Conv numerics: promote to compute dtype, SAME-pad
     3x3, add bias in compute dtype.  Routes through the implicit-GEMM
     Pallas kernel when MUDIFF_GEMM_CONV=1 and the conv is wide enough
@@ -126,7 +174,12 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     the model was built with use_int8 — passed only by the G2
     cyclic-fusion gate/weight convs (mid-network, sigmoid-gated); the
     stem convs stay exact because every downstream feature flows
-    through them."""
+    through them.
+
+    groups: feature_group_count for the grouped lowering (kernel must
+    then be (3,3,Cin/groups,Cout) with group-concatenated Cout); the
+    int8/Pallas paths only handle dense convs, so groups>1 always takes
+    the lax path."""
     from mudiff_tpu.ops.int8_conv import (
         int8_conv3x3,
         int8_conv_routed,
@@ -135,16 +188,18 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     from mudiff_tpu.ops.pallas_conv import conv3x3_gemm, gemm_conv_routed
 
     x = x.astype(dtype)
-    if (allow_int8 and int8_enabled()
-            and int8_conv_routed(x.shape[-1], kernel.shape[-1])):
-        return int8_conv3x3(x, kernel, bias, compute_dtype=dtype)
-    if gemm_conv_routed(x.shape[-1], kernel.shape[-1]):
-        # kernel adds fp32 bias to the fp32 accumulator (tighter than
-        # nn.Conv's compute-dtype add; within bf16 tolerance)
-        return conv3x3_gemm(x, kernel.astype(dtype), bias)
+    if groups == 1:
+        if (allow_int8 and int8_enabled()
+                and int8_conv_routed(x.shape[-1], kernel.shape[-1])):
+            return int8_conv3x3(x, kernel, bias, compute_dtype=dtype)
+        if gemm_conv_routed(x.shape[-1], kernel.shape[-1]):
+            # kernel adds fp32 bias to the fp32 accumulator (tighter
+            # than nn.Conv's compute-dtype add; within bf16 tolerance)
+            return conv3x3_gemm(x, kernel.astype(dtype), bias)
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     return y + bias.astype(dtype)
 
@@ -180,14 +235,20 @@ def fused_convfeat_apply(
 
     n = len(params)
     f = params[0][0].shape[-1]
-    k1 = block_diag_conv1([p[0] for p in params])
+    g = grouped_stems()
+    groups = g if (g > 1 and n % g == 0) else 1
+    if groups > 1:
+        k1 = _super_group_kernel([p[0] for p in params], groups)
+        k2 = _super_group_kernel([p[2] for p in params], groups)
+    else:
+        k1 = block_diag_conv1([p[0] for p in params])
+        k2 = block_diag_conv2([p[2] for p in params])
     b1 = jnp.concatenate([p[1] for p in params])
-    k2 = block_diag_conv2([p[2] for p in params])
     b2 = jnp.concatenate([p[3] for p in params])
-    h = _conv(stacked, k1, b1, dtype)
+    h = _conv(stacked, k1, b1, dtype, groups=groups)
     h = stacked_group_norm(h, n, _num_groups(f))
     h = act(h)
-    return _conv(h, k2, b2, dtype)
+    return _conv(h, k2, b2, dtype, groups=groups)
 
 
 # ---------------------------------------------------------------------
@@ -312,11 +373,15 @@ def fused_adaptive_encode(
     n = len(stems)
     stacked = jnp.concatenate(stems, axis=-1)
 
-    k1 = block_diag_conv1(
-        [px[0]] + [p[0] for p in pcs] + [pgap[0]]
-    )
+    genv = grouped_stems()
+    g1 = genv if (genv > 1 and n % genv == 0) else 1
+    k1s = [px[0]] + [p[0] for p in pcs] + [pgap[0]]
+    if g1 > 1:
+        k1 = _super_group_kernel(k1s, g1)
+    else:
+        k1 = block_diag_conv1(k1s)
     b1 = jnp.concatenate([px[1]] + [p[1] for p in pcs] + [pgap[1]])
-    h = _conv(stacked, k1, b1, dtype)
+    h = _conv(stacked, k1, b1, dtype, groups=g1)
     h = stacked_group_norm(h, n, _num_groups(f))
 
     # pseudo branch first: GAP style vector (sequential dependency)
@@ -340,9 +405,14 @@ def fused_adaptive_encode(
         parts.append(act(hi))
 
     h4 = jnp.concatenate(parts, axis=-1)
-    k2 = block_diag_conv2([px[2]] + [p[4] for p in pcs])
+    g2 = genv if (genv > 1 and (1 + n_c) % genv == 0) else 1
+    k2s = [px[2]] + [p[4] for p in pcs]
+    if g2 > 1:
+        k2 = _super_group_kernel(k2s, g2)
+    else:
+        k2 = block_diag_conv2(k2s)
     b2 = jnp.concatenate([px[3]] + [p[5] for p in pcs])
-    out = _conv(h4, k2, b2, dtype)
+    out = _conv(h4, k2, b2, dtype, groups=g2)
     x_feat = out[..., :f]
     feats = [out[..., (i + 1) * f:(i + 2) * f] for i in range(n_c)]
     return x_feat, feats, pseudo_weight
@@ -368,11 +438,21 @@ def fused_weight_convs(
     w_params: List[Tuple[jnp.ndarray, jnp.ndarray]],
     dtype,
 ) -> List[jnp.ndarray]:
-    """N same-shape convs on N different inputs: block-diagonal fuse."""
+    """N same-shape convs on N different inputs: block-diagonal fuse
+    (or a grouped conv under MUDIFF_GROUPED_STEMS — which forgoes the
+    int8 routing, so the A/B weighs int8-dense-with-4x-waste against
+    bf16-grouped-without)."""
     f = w_params[0][0].shape[-1]
-    k = block_diag_conv2([p[0] for p in w_params])
+    g = grouped_stems()
+    n = len(w_params)
+    groups = g if (g > 1 and n % g == 0) else 1
+    if groups > 1:
+        k = _super_group_kernel([p[0] for p in w_params], groups)
+    else:
+        k = block_diag_conv2([p[0] for p in w_params])
     b = jnp.concatenate([p[1] for p in w_params])
     out = _conv(
-        jnp.concatenate(inputs, axis=-1), k, b, dtype, allow_int8=True
+        jnp.concatenate(inputs, axis=-1), k, b, dtype, allow_int8=True,
+        groups=groups,
     )
     return [out[..., i * f:(i + 1) * f] for i in range(len(w_params))]

@@ -76,3 +76,60 @@ def test_fused_stems_gradients_equal():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_grouped_lowering_equals_block_diag(monkeypatch):
+    """MUDIFF_GROUPED_STEMS=g lowers the stem fusions as grouped convs
+    (feature_group_count=g super-groups, g-fold fewer FLOPs); the dense
+    block-diag form only adds exact-zero terms, so outputs must match to
+    fp round-off for every divisor g (including non-divisors, which
+    fall back to dense)."""
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(rng.randn(2, 8, 8, N).astype(np.float32))
+    params = _SepModel().init(jax.random.PRNGKey(1), xs)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * rng.randn(*a.shape).astype(a.dtype), params
+    )
+    monkeypatch.delenv("MUDIFF_GROUPED_STEMS", raising=False)
+    out_dense = _FusedModel().apply({"params": params}, xs)
+    for g in (2, N, 3):  # 3 does not divide N=4 -> dense fallback
+        monkeypatch.setenv("MUDIFF_GROUPED_STEMS", str(g))
+        out_grouped = _FusedModel().apply({"params": params}, xs)
+        np.testing.assert_allclose(
+            np.asarray(out_dense), np.asarray(out_grouped),
+            rtol=2e-5, atol=2e-6, err_msg=f"g={g}",
+        )
+
+
+def test_grouped_lowering_full_models(monkeypatch):
+    """Both generators produce (near-)identical outputs under the
+    grouped stem lowering — covers fused_convfeat_apply (G1),
+    fused_adaptive_encode and fused_weight_convs (G2)."""
+    from mudiff_tpu.config import MuDiffConfig
+    from mudiff_tpu.models import NCSNppGenerator
+
+    cfg = MuDiffConfig(
+        image_size=16, num_channels=1, num_channels_dae=16, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(8,), z_emb_dim=32, t_emb_dim=32,
+        nz=8, ngf=8, num_timesteps=2,
+    )
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 16, 1).astype(np.float32))
+    t = jnp.asarray([0, 1], jnp.int32)
+    z = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+    for adaptive in (False, True):
+        m = NCSNppGenerator(config=cfg, adaptive=adaptive,
+                            dtype=jnp.float32)
+        kw = {"pseudo_target": x} if adaptive else {}
+        monkeypatch.delenv("MUDIFF_GROUPED_STEMS", raising=False)
+        p = m.init(jax.random.PRNGKey(0), x, x, x, x, t, z, **kw)["params"]
+        y_dense = np.asarray(
+            m.apply({"params": p}, x, x, x, x, t, z, **kw), np.float32
+        )
+        for g in (2, 4):
+            monkeypatch.setenv("MUDIFF_GROUPED_STEMS", str(g))
+            y_grouped = np.asarray(
+                m.apply({"params": p}, x, x, x, x, t, z, **kw), np.float32
+            )
+            np.testing.assert_allclose(y_dense, y_grouped, rtol=1e-4,
+                                       atol=1e-5, err_msg=f"g={g}")

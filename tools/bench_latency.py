@@ -35,6 +35,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nf", type=int, default=64)
     ap.add_argument("--int8", action="store_true", default=False)
+    ap.add_argument("--int8-static", dest="int8_static",
+                    action="store_true", default=False,
+                    help="static (unit-scale synthetic calib) int8 mode")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
@@ -45,7 +48,7 @@ def main() -> None:
 
     cfg = brats_recipe(
         num_channels_dae=args.nf, image_size=256, use_bf16=True,
-        use_int8=args.int8,
+        use_int8=args.int8 or args.int8_static,
     )
     dtype = jnp.bfloat16
     g1 = NCSNppGenerator(config=cfg, dtype=dtype)
@@ -60,6 +63,16 @@ def main() -> None:
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     pg1 = g1.init(k1, x1, x1, x1, x1, t1, z1)["params"]
     pg2 = g2.init(k2, x1, x1, x1, x1, t1, z1, pseudo_target=x1)["params"]
+
+    if args.int8_static:
+        from mudiff_tpu.infer.calibrate import synthetic_calib
+
+        c1 = synthetic_calib(g1, pg1, (x1, x1, x1, x1, t1, z1))
+        c2 = synthetic_calib(g2, pg2, (x1, x1, x1, x1, t1, z1),
+                             pseudo_target=x1)
+        g1 = NCSNppGenerator(config=cfg, dtype=dtype, int8_calib=c1)
+        g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=dtype,
+                             int8_calib=c2)
 
     def one_sample(c, x_init, key):
         g1_fn = lambda x, a, bb, cc, t, z: g1.apply(
@@ -101,7 +114,8 @@ def main() -> None:
         "ms_per_slice": round(ms / b, 1),
         "volume_155_slices_s": round(ms / b * 155 / 1e3, 1),
         "nf": args.nf,
-        "quant": "int8-w8a8" if args.int8 else "bf16",
+        "quant": ("int8-w8a8-static" if args.int8_static
+                  else "int8-w8a8" if args.int8 else "bf16"),
     }))
 
 
