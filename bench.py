@@ -23,12 +23,14 @@ Flags:
   --nf N   generator width (default 64 = the logged recipe; 128 = the
            canonical YAML recipe, experiments/cfg/local.yaml:27).
   --bf16   exact bf16 serving.  The default is the W8A8 int8 MXU mode
-           (ops/int8_conv.py, routing threshold 2*nf): the flagship
-           quality A/B measured it quality-neutral (-0.065 dB PSNR on
-           the nf=128 held-out test split) and it never measured slower
-           than bf16 on chip — 22.7 vs 22.0 slices/s at nf=64, 11.4 vs
-           9.7 at nf=128, 9x at batch 1 (PERFORMANCE.md int8 section).
-           The scored JSON carries the mode in its "quant" field.
+           with STATIC per-channel activation scales and bf16-score
+           attention (round 4): every piece quality-proven on trained
+           flagship checkpoints (int8 at nf=128 -0.065 dB and nf=64
+           -0.002 dB; static +0.002 dB; bf16 attention +0.0002 dB —
+           PERFORMANCE.md quality tables) and each faster than the last
+           on chip.  --int8-dynamic / --attn einsum / --bf16 step back
+           to the round-3 default / exact attention / exact serving.
+           The scored JSON carries the mode in "quant" and "attn".
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "devices", "nf"}.
@@ -37,6 +39,7 @@ Prints ONE JSON line:
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -214,13 +217,29 @@ def main() -> None:
     ap.add_argument("--bf16", dest="int8", action="store_false",
                     help="exact bf16 serving (disables the int8 path)")
     ap.add_argument("--int8-static", dest="int8_static",
-                    action="store_true", default=False,
+                    action="store_true", default=True,
                     help="static (calibrated-scale) int8 quantize: "
                          "constant per-channel scales folded into the "
-                         "weights, no per-conv absmax reduce "
-                         "(infer/calibrate.py; unit scales here — "
-                         "throughput-representative, quality-irrelevant)")
+                         "weights, no per-conv absmax reduce — the "
+                         "DEFAULT since round 4 (quality-neutral on the "
+                         "trained flagship64 checkpoint, +0.002 dB; "
+                         "removes the dynamic mode's censused 5.75 GB "
+                         "quantize traffic).  Unit scales here — "
+                         "throughput-representative (infer/calibrate.py)")
+    ap.add_argument("--int8-dynamic", dest="int8_static",
+                    action="store_false",
+                    help="per-example activation scales (round-3 mode)")
+    ap.add_argument("--attn", default="bf16",
+                    choices=("einsum", "bf16", "flash"),
+                    help="attention score lowering (nn/blocks.py): bf16 "
+                         "scores are the round-4 default — quality-"
+                         "neutral on the trained flagship64 checkpoint "
+                         "(+0.0002 dB) and ~11 ms faster per generator "
+                         "forward at B=32; 'einsum' is the exact fp32 "
+                         "parity path")
     args = ap.parse_args()
+
+    os.environ["MUDIFF_ATTN"] = args.attn
 
     from mudiff_tpu.config import brats_recipe
     from mudiff_tpu.parallel import make_mesh
@@ -251,6 +270,7 @@ def main() -> None:
         "nf": args.nf,
         "quant": (("int8-w8a8-static" if args.int8_static else "int8-w8a8")
                   if args.int8 else "bf16"),
+        "attn": args.attn,
     }))
 
 

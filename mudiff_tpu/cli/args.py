@@ -119,8 +119,14 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
     p.add_argument("--no_bf16", dest="use_bf16", action="store_false")
     # W8A8 int8 MXU serving mode (inference CLIs; ignored during
     # training) — trunk 3x3 convs at 2x the bf16 peak, same checkpoints
-    # (ops/int8_conv.py).
-    p.add_argument("--use_int8", action="store_true", default=False)
+    # (ops/int8_conv.py).  DEFAULT ON for the serving CLIs since round 4
+    # (quality-neutral at BOTH flagship widths on trained checkpoints,
+    # PERFORMANCE.md int8 quality tables; 9x batch-1 latency); --bf16
+    # restores exact serving.  Training parses it too but ignores it.
+    p.add_argument("--use_int8", action="store_true",
+                   default=(mode in ("test", "test_volume")))
+    p.add_argument("--bf16", dest="use_int8", action="store_false",
+                   help="exact bf16 serving (disable the int8 path)")
     # static (calibrated) activation scales for the int8 path: default
     # auto (sidecars used when present), --int8_static requires them,
     # --int8_dynamic forces per-example scales (infer/calibrate.py).

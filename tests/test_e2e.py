@@ -282,3 +282,23 @@ def test_check_pipeline_keeps_blocked_items_warm(tmp_path):
     )
     errs = check_runbook(ok, readme_path=str(bad_readme))
     assert errs and "--no_such_flag" in errs[0]
+
+
+def test_serving_clis_default_int8_with_bf16_escape():
+    """Round-4 serving default: test/test_volume parse use_int8=True
+    (--bf16 restores exact); the train parser keeps False (training
+    ignores the flag, but the config record should not claim int8)."""
+    from mudiff_tpu.cli.args import parse_config
+
+    for mode in ("test", "test_volume"):
+        cfg, _ = parse_config([], mode=mode)
+        assert cfg.use_int8 is True, mode
+        cfg, _ = parse_config(["--bf16"], mode=mode)
+        assert cfg.use_int8 is False, mode
+        # static/dynamic selection: default auto (None)
+        cfg, _ = parse_config([], mode=mode)
+        assert cfg.int8_static is None
+        cfg, _ = parse_config(["--int8_dynamic"], mode=mode)
+        assert cfg.int8_static is False
+    cfg, _ = parse_config([], mode="train")
+    assert cfg.use_int8 is False
