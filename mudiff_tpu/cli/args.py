@@ -9,6 +9,7 @@ accepted and ignored: on TPU the mesh replaces process-group rendezvous.
 from __future__ import annotations
 
 import argparse
+import os
 from typing import List, Optional, Sequence
 
 from mudiff_tpu.config import MuDiffConfig, _as_int_list
@@ -144,6 +145,15 @@ def build_parser(mode: str = "train") -> argparse.ArgumentParser:
         # reference test flags with no TPU meaning; accepted and ignored
         p.add_argument("--gpu_chose", type=int, default=0)
         p.add_argument("--compute_fid", action="store_true", default=False)
+        # attention score lowering for SERVING (training keeps the exact
+        # fp32 einsum).  Default bf16: bf16 score buffers with fp32
+        # softmax internals halve the [B,HW,HW] HBM traffic (~6%
+        # end-to-end) and are quality-neutral on trained checkpoints
+        # (PERFORMANCE.md round-4 attention + quality tables); --attn
+        # einsum restores the exact-parity path.  Resolution order:
+        # explicit flag > MUDIFF_ATTN env (A/B override) > bf16.
+        p.add_argument("--attn", choices=("bf16", "einsum", "flash"),
+                       default=None)
     if mode == "test_volume":
         p.add_argument("--input_t1", type=str, default=None)
         p.add_argument("--input_t2", type=str, default=None)
@@ -161,5 +171,13 @@ def parse_config(
     args = build_parser(mode).parse_args(argv)
     args.attn_resolutions = tuple(_as_int_list(args.attn_resolutions))
     args.fir_kernel = tuple(_as_int_list(args.fir_kernel))
+    if mode in ("test", "test_volume"):
+        # Resolve the serving attention lowering and publish it where
+        # the model reads it (nn/blocks._attn_impl checks MUDIFF_ATTN at
+        # trace time).  An explicit flag wins; an exported MUDIFF_ATTN
+        # keeps working as the A/B override; otherwise bf16 (the
+        # quality-gated round-4 serving default).
+        args.attn = args.attn or os.environ.get("MUDIFF_ATTN") or "bf16"
+        os.environ["MUDIFF_ATTN"] = args.attn
     cfg = MuDiffConfig.from_dict(vars(args))
     return cfg, args

@@ -23,3 +23,23 @@ if os.environ.get("MUDIFF_TESTS_ON_TPU") != "1":
     )
 
 jax.config.update("jax_threefry_partitionable", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _mudiff_env_hygiene():
+    """Isolate MUDIFF_* trace-time knobs between tests.
+
+    parse_config(mode="test"/"test_volume") publishes the serving
+    attention lowering via MUDIFF_ATTN (nn/blocks reads it at trace
+    time); without restore, a CLI-parsing test would silently flip
+    later parity tests off the exact einsum path.
+    """
+    keys = [k for k in os.environ if k.startswith("MUDIFF_")]
+    saved = {k: os.environ[k] for k in keys}
+    yield
+    for k in [k for k in os.environ if k.startswith("MUDIFF_")]:
+        if k not in saved:
+            del os.environ[k]
+    os.environ.update(saved)

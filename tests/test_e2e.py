@@ -302,3 +302,27 @@ def test_serving_clis_default_int8_with_bf16_escape():
         assert cfg.int8_static is False
     cfg, _ = parse_config([], mode="train")
     assert cfg.use_int8 is False
+
+
+def test_serving_clis_attn_default_and_overrides(monkeypatch):
+    """Round-4 serving default: the inference CLIs publish the bf16
+    attention lowering via MUDIFF_ATTN (explicit --attn > env > bf16);
+    training never touches it (exact einsum parity path)."""
+    from mudiff_tpu.cli.args import parse_config
+
+    for mode in ("test", "test_volume"):
+        monkeypatch.delenv("MUDIFF_ATTN", raising=False)
+        _, args = parse_config([], mode=mode)
+        assert args.attn == "bf16"
+        assert os.environ["MUDIFF_ATTN"] == "bf16"
+        # exported env is the A/B override when no flag is given
+        monkeypatch.setenv("MUDIFF_ATTN", "einsum")
+        _, args = parse_config([], mode=mode)
+        assert args.attn == "einsum"
+        # an explicit flag beats the env
+        _, args = parse_config(["--attn", "flash"], mode=mode)
+        assert args.attn == "flash"
+        assert os.environ["MUDIFF_ATTN"] == "flash"
+    monkeypatch.delenv("MUDIFF_ATTN", raising=False)
+    parse_config([], mode="train")
+    assert "MUDIFF_ATTN" not in os.environ
