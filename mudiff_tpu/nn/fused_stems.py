@@ -161,6 +161,26 @@ def _super_group_kernel(kernels: Sequence[jnp.ndarray], g: int):
     return jnp.concatenate(chunks, axis=-1)
 
 
+def stems_int8() -> bool:
+    """Opt-in (``MUDIFF_INT8_STEMS=1``): route the fused stem conv2
+    through the W8A8 path when the model serves int8.
+
+    The stem conv2 is the single largest conv in the forward (the
+    block-diagonal 4·nf->4·nf at full resolution — 2.47 of G1's 13.45
+    conv TFLOP at nf=64 B=32, tools/census_hlo.py) and is width-eligible
+    under the shipped routing; it was excluded by the design judgment
+    that every downstream feature flows through it.  This switch exists
+    to replace that judgment with a measurement: an on-chip in-model
+    A/B plus the standard quality gate (tools/ab_int8_quality.py)
+    decide whether the exclusion stands.  conv1 (Cin=n stems) and the
+    G2 pseudo-GAP branch stay exact regardless — thin shapes the probe
+    measured slow, and the pseudo branch feeds every AdaGN style.
+    """
+    import os
+
+    return os.environ.get("MUDIFF_INT8_STEMS") == "1"
+
+
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
           dtype, allow_int8: bool = False,
           groups: int = 1) -> jnp.ndarray:
@@ -248,7 +268,8 @@ def fused_convfeat_apply(
     h = _conv(stacked, k1, b1, dtype, groups=groups)
     h = stacked_group_norm(h, n, _num_groups(f))
     h = act(h)
-    return _conv(h, k2, b2, dtype, groups=groups)
+    return _conv(h, k2, b2, dtype, groups=groups,
+                 allow_int8=stems_int8())
 
 
 # ---------------------------------------------------------------------
@@ -412,7 +433,7 @@ def fused_adaptive_encode(
     else:
         k2 = block_diag_conv2(k2s)
     b2 = jnp.concatenate([px[3]] + [p[5] for p in pcs])
-    out = _conv(h4, k2, b2, dtype, groups=g2)
+    out = _conv(h4, k2, b2, dtype, groups=g2, allow_int8=stems_int8())
     x_feat = out[..., :f]
     feats = [out[..., (i + 1) * f:(i + 2) * f] for i in range(n_c)]
     return x_feat, feats, pseudo_weight

@@ -181,7 +181,15 @@ def int8_conv_routed(cin: int, cout: int) -> bool:
         min_ch = int(env)
     else:
         min_ch = getattr(_state, "min_ch", None) or 64
-    return cin >= min_ch and cout >= min_ch
+    # ``MUDIFF_INT8_COUT_MIN`` relaxes the OUTPUT-channel threshold
+    # only (A/B lever): the decoder's full-resolution convs have wide
+    # cin (128-320) but cout=nf, so the symmetric rule leaves their
+    # 2.16 TFLOP (16% of G1's convs at nf=64 B=32, tools/census_hlo.py)
+    # in bf16.  cin keeps the full threshold — thin-INPUT convs are the
+    # ones the probe measured slow on the s8 emitter.
+    env_cout = os.environ.get("MUDIFF_INT8_COUT_MIN")
+    cout_min = int(env_cout) if env_cout is not None else min_ch
+    return cin >= min_ch and cout >= max(2, cout_min)
 
 
 def quantize_weight(w: jnp.ndarray):

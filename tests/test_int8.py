@@ -118,6 +118,68 @@ def test_routing_threshold_scope(monkeypatch):
         assert int8_conv_routed(256, 256)
 
 
+def test_routing_cout_min_env(monkeypatch):
+    """MUDIFF_INT8_COUT_MIN relaxes only the output-channel threshold:
+    the decoder's wide-cin -> nf full-res convs (320->64 etc.) become
+    eligible while thin-INPUT convs and the nf->1 head stay bf16."""
+    monkeypatch.setenv("MUDIFF_INT8_MIN_CH", "128")
+    assert not int8_conv_routed(320, 64)      # symmetric rule
+    monkeypatch.setenv("MUDIFF_INT8_COUT_MIN", "64")
+    assert int8_conv_routed(320, 64)          # wide-cin decoder convs
+    assert int8_conv_routed(128, 64)
+    assert not int8_conv_routed(64, 64)       # cin keeps full threshold
+    assert not int8_conv_routed(320, 1)       # head never quantizes
+    monkeypatch.setenv("MUDIFF_INT8_COUT_MIN", "1")
+    assert not int8_conv_routed(320, 1)       # floor guards the head
+    monkeypatch.delenv("MUDIFF_INT8_COUT_MIN")
+    assert not int8_conv_routed(320, 64)      # symmetric rule restored
+
+
+def test_stems_int8_env(monkeypatch):
+    """MUDIFF_INT8_STEMS=1 routes the fused stem conv2 through int8
+    under the scope (close to exact); without it the stems are exact
+    under the scope (the shipped default)."""
+    from mudiff_tpu.nn.fused_stems import fused_convfeat_apply
+
+    rng = np.random.RandomState(11)
+    f, n = 32, 4  # stacked conv2 is 128->128: routed at the default 64
+    params = [
+        (
+            jnp.asarray(rng.randn(3, 3, 1, f).astype(np.float32) * 0.3),
+            jnp.asarray(rng.randn(f).astype(np.float32) * 0.1),
+            jnp.asarray(rng.randn(3, 3, f, f).astype(np.float32) * 0.05),
+            jnp.asarray(rng.randn(f).astype(np.float32) * 0.1),
+        )
+        for _ in range(n)
+    ]
+    stacked = jnp.asarray(rng.randn(1, 8, 8, n).astype(np.float32))
+    act = jax.nn.silu
+
+    import flax.linen as nn
+
+    class _M(nn.Module):  # GroupNorm needs a module context (param-free)
+        @nn.compact
+        def __call__(self, s):
+            return fused_convfeat_apply(s, params, act, jnp.float32)
+
+    m = _M()
+    pv = m.init(jax.random.PRNGKey(0), stacked)
+    run = lambda: np.asarray(m.apply(pv, stacked))
+
+    y_exact = run()
+    with int8_scope(True):
+        y_def = run()
+    assert np.array_equal(y_exact, y_def)
+    monkeypatch.setenv("MUDIFF_INT8_STEMS", "1")
+    with int8_scope(True):
+        y_q = run()
+    assert not np.array_equal(y_exact, y_q)
+    scale = np.abs(y_exact).max() + 1e-9
+    assert np.abs(y_q - y_exact).max() <= 0.02 * scale
+    # outside the scope the env alone must not quantize
+    assert np.array_equal(y_exact, run())
+
+
 def test_conv3x3_param_tree_identical_and_routed():
     from mudiff_tpu.nn.layers import Conv3x3
 
