@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--attn", default=None,
                     choices=("einsum", "bf16", "flash"),
                     help="attention lowering (sets MUDIFF_ATTN)")
+    ap.add_argument("--models", default="g1,g2",
+                    help="comma list of g1,g2 — screen one model only "
+                         "(halves the remote-compile cost of an A/B)")
     args = ap.parse_args()
 
     if args.attn:
@@ -110,17 +113,20 @@ def main():
         t0 = time.perf_counter(); float(jn(x2))
         tt = time.perf_counter() - t0
         ms = max(tt - oh, 0.0) / args.chain * 1e3
-        tflops = None
         print(f"{name}: {ms:8.2f} ms/forward  (B={b})", flush=True)
         return ms
 
-    measure("G1", lambda xc: g1.apply({"params": p1}, xc, c, c, c, t, z))
-    measure(
-        "G2",
-        lambda xc: g2.apply(
-            {"params": p2}, xc, c, c, c, t, z, pseudo_target=xc
-        ),
-    )
+    wanted = {m.strip() for m in args.models.split(",")}
+    if "g1" in wanted:
+        measure("G1",
+                lambda xc: g1.apply({"params": p1}, xc, c, c, c, t, z))
+    if "g2" in wanted:
+        measure(
+            "G2",
+            lambda xc: g2.apply(
+                {"params": p2}, xc, c, c, c, t, z, pseudo_target=xc
+            ),
+        )
 
 
 if __name__ == "__main__":
