@@ -76,7 +76,10 @@ def plot_evolution(history_path: str, out_dir: str) -> None:
             axes[0].plot(epochs, vals, label=key)
     axes[0].set_title("losses")
     axes[0].set_xlabel("epoch")
-    axes[0].legend()
+    if axes[0].get_legend_handles_labels()[1]:
+        # epoch-0 histories hold only the pre-training val row — no
+        # loss curves yet, and a bare legend() warns on every epoch.
+        axes[0].legend()
 
     axes[1].plot(epochs, [h.get("val_psnr") for h in history], label="val PSNR")
     ax1b = axes[1].twinx()
