@@ -104,17 +104,32 @@ def main():
         return jax.jit(run)
 
     def measure(name, apply_fn):
+        # Best-of reps: the runtime runs a ~15 s degraded window after a
+        # fresh compile (PERFORMANCE.md round-5 cold-pass section —
+        # bench.py's pass 0 measured 1.7–2.6× slow even after a fetched
+        # warmup), so a single timed chain is not trustworthy.  Each rep
+        # perturbs the input (defeats remote execution dedup) and the
+        # loop stops early once a rep stops improving >2%.
         j0 = chain(apply_fn, 0)
         jn = chain(apply_fn, args.chain)
         float(j0(x)); float(jn(x))
-        t0 = time.perf_counter(); base = float(j0(x))
-        oh = time.perf_counter() - t0
-        x2 = x + jnp.asarray(base * 0, x.dtype)
-        t0 = time.perf_counter(); float(jn(x2))
-        tt = time.perf_counter() - t0
-        ms = max(tt - oh, 0.0) / args.chain * 1e3
-        print(f"{name}: {ms:8.2f} ms/forward  (B={b})", flush=True)
-        return ms
+        best = None
+        for rep in range(5):
+            t0 = time.perf_counter(); base = float(j0(x))
+            oh = time.perf_counter() - t0
+            x2 = x + jnp.asarray(base * 0 + rep * 1e-6, x.dtype)
+            t0 = time.perf_counter(); float(jn(x2))
+            tt = time.perf_counter() - t0
+            ms = max(tt - oh, 0.0) / args.chain * 1e3
+            print(f"{name}[rep {rep}]: {ms:8.2f} ms/forward  (B={b})",
+                  flush=True)
+            prev = best
+            best = ms if best is None else min(best, ms)
+            if rep >= 1 and prev is not None and best > prev * 0.98:
+                break
+        print(f"{name}: {best:8.2f} ms/forward  (B={b}, best-of reps)",
+              flush=True)
+        return best
 
     wanted = {m.strip() for m in args.models.split(",")}
     if "g1" in wanted:
