@@ -32,6 +32,11 @@ def main() -> None:
                     help="add the int8-static leg (calibrated scales; "
                          "run tools/calibrate_int8.py first so the "
                          "int8_calib_g{1,2}.json sidecars exist)")
+    ap.add_argument("--modes", default=None,
+                    help="comma list from {bf16,int8,int8-static} — "
+                         "overrides the --static-derived default; each "
+                         "remote compile costs ~10 min, so trim legs "
+                         "when pairing runs across MUDIFF_ATTN settings")
     args = ap.parse_args()
 
     from mudiff_tpu.cli.run import _config_from_yaml
@@ -53,8 +58,14 @@ def main() -> None:
         target = exp.get("target", "T1CE")
         ckpt_dir = os.path.join(doc["output_root"], name, target)
         rows = {}
-        modes = ("bf16", "int8", "int8-static") if args.static else (
-            "bf16", "int8")
+        if args.modes:
+            modes = tuple(m.strip() for m in args.modes.split(","))
+            bad = set(modes) - {"bf16", "int8", "int8-static"}
+            if bad:
+                raise SystemExit(f"unknown modes: {sorted(bad)}")
+        else:
+            modes = ("bf16", "int8", "int8-static") if args.static else (
+                "bf16", "int8")
         for mode in modes:
             cfg = _config_from_yaml(
                 dict(exp["test_args"], use_int8=mode.startswith("int8"),
