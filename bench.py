@@ -284,6 +284,11 @@ def main() -> None:
     ap.add_argument("--int8-dynamic", dest="int8_static",
                     action="store_false",
                     help="per-example activation scales (round-3 mode)")
+    ap.add_argument("--batches", default=None,
+                    help="comma-separated batch-size ladder override "
+                         "(e.g. '32' pins one size = one remote compile "
+                         "— the cheap shape for A/B legs; the scored "
+                         "default ladder is unchanged)")
     ap.add_argument("--attn", default="bf16",
                     choices=("einsum", "bf16", "flash"),
                     help="attention score lowering (nn/blocks.py): bf16 "
@@ -306,7 +311,10 @@ def main() -> None:
         num_channels_dae=args.nf, image_size=256, use_bf16=True,
         use_int8=args.int8,
     )
-    value = measure_throughput(cfg, mesh, int8_static=args.int8_static)
+    batches = (tuple(int(b) for b in args.batches.split(","))
+               if args.batches else None)
+    value = measure_throughput(cfg, mesh, batches=batches,
+                               int8_static=args.int8_static)
 
     baseline_slices_per_sec = 6.0  # measured reference per-GPU throughput
     per_chip = value / n_dev

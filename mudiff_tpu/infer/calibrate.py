@@ -132,7 +132,13 @@ def calibrate_sampler(
             (ci, co, tuple(float(v) * margin for v in a))
             for (ci, co), a in zip(sig, store)
         )
-        return Int8Calib(min_ch=int(min_ch), sites=sites)
+        # stamp the stems-routing bit the recording traced with: the
+        # site list (and every index into it) depends on it, so serving
+        # replays it from the calib (fused_stems.stems_int8)
+        from mudiff_tpu.nn.fused_stems import stems_int8
+
+        return Int8Calib(min_ch=int(min_ch), sites=sites,
+                         stems=stems_int8())
 
     return _build(sigs["g1"], max1), _build(sigs["g2"], max2)
 
@@ -158,8 +164,10 @@ def synthetic_calib(model, params, example_args, min_ch: Optional[int] = None,
             lambda p, *a: model.apply({"params": p}, *a, **apply_kwargs),
             params, *example_args,
         )
+    from mudiff_tpu.nn.fused_stems import stems_int8
+
     sites = tuple((ci, co, tuple([1.0] * ci)) for ci, co, _ in sink)
-    return Int8Calib(min_ch=int(min_ch), sites=sites)
+    return Int8Calib(min_ch=int(min_ch), sites=sites, stems=stems_int8())
 
 
 def save_calib(path: str, calib: Int8Calib) -> str:

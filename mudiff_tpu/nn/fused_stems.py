@@ -162,23 +162,42 @@ def _super_group_kernel(kernels: Sequence[jnp.ndarray], g: int):
 
 
 def stems_int8() -> bool:
-    """Opt-in (``MUDIFF_INT8_STEMS=1``): route the fused stem conv2
-    through the W8A8 path when the model serves int8.
+    """Whether to route the fused stem conv2 through the W8A8 path when
+    the model serves int8.
 
     The stem conv2 is the single largest conv in the forward (the
     block-diagonal 4·nf->4·nf at full resolution — 2.47 of G1's 13.45
     conv TFLOP at nf=64 B=32, tools/census_hlo.py) and is width-eligible
-    under the shipped routing; it was excluded by the design judgment
-    that every downstream feature flows through it.  This switch exists
-    to replace that judgment with a measurement: an on-chip in-model
-    A/B plus the standard quality gate (tools/ab_int8_quality.py)
-    decide whether the exclusion stands.  conv1 (Cin=n stems) and the
-    G2 pseudo-GAP branch stay exact regardless — thin shapes the probe
-    measured slow, and the pseudo branch feeds every AdaGN style.
+    under the shipped routing; round 4 excluded it by the design
+    judgment that every downstream feature flows through it.  Round 5
+    replaced that judgment with measurements (PERFORMANCE.md round-5
+    routing-lever table + quality gate).
+
+    Precedence: ``MUDIFF_INT8_STEMS`` env (``1``/``0``, the A/B
+    override) > the ambient static calibration's recorded ``stems`` bit
+    (the site list depends on it — serving MUST replay what recording
+    did) > the default.  conv1 (Cin=n stems) and the G2 pseudo-GAP
+    branch stay exact regardless — thin shapes the probe measured slow,
+    and the pseudo branch feeds every AdaGN style.
     """
     import os
 
-    return os.environ.get("MUDIFF_INT8_STEMS") == "1"
+    from mudiff_tpu.ops.int8_conv import ambient_calib
+
+    env = os.environ.get("MUDIFF_INT8_STEMS")
+    if env is not None:
+        return env == "1"
+    calib = ambient_calib()
+    if calib is not None:
+        return bool(calib.stems)
+    return STEMS_INT8_DEFAULT
+
+
+# Default for the dynamic (uncalibrated) int8 mode and for recording
+# new calibrations.  False until the round-5 quality gate on a trained
+# flagship checkpoint concludes; the on-chip forward A/B measured the
+# quantized stem conv2 at -3.2% G1 time (PERFORMANCE.md round-5).
+STEMS_INT8_DEFAULT = False
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,

@@ -73,18 +73,25 @@ class Int8Calib(NamedTuple):
 
     ``min_ch`` is the routing threshold the calibration was recorded
     with; serving inherits it (a calibration is only valid for the site
-    set it saw).
+    set it saw).  ``stems`` records whether the fused stem conv2 was
+    int8-routed during recording (nn/fused_stems.stems_int8) — serving
+    inherits that too, for the same reason: the site LIST depends on
+    it, and a mismatch would shift every site index (the trace-time
+    signature check turns that into a loud error rather than a silent
+    mis-scale).
 
     Fully hashable (tuples only) — it rides as a flax module field.
     """
 
     min_ch: int
     sites: Tuple[Tuple[int, int, Tuple[float, ...]], ...]
+    stems: bool = False
 
     def to_json_dict(self) -> dict:
         return {
-            "version": 1,
+            "version": 2,
             "min_ch": int(self.min_ch),
+            "stems": bool(self.stems),
             "sites": [
                 {"cin": int(ci), "cout": int(co), "absmax": list(map(float, a))}
                 for ci, co, a in self.sites
@@ -95,6 +102,9 @@ class Int8Calib(NamedTuple):
     def from_json_dict(cls, d: dict) -> "Int8Calib":
         return cls(
             min_ch=int(d["min_ch"]),
+            # version-1 sidecars predate the stems lever: recorded with
+            # the stem conv2 in bf16
+            stems=bool(d.get("stems", False)),
             sites=tuple(
                 (int(s["cin"]), int(s["cout"]), tuple(map(float, s["absmax"])))
                 for s in d["sites"]
@@ -105,6 +115,15 @@ class Int8Calib(NamedTuple):
 def int8_enabled() -> bool:
     """True inside an ``int8_scope(True)`` dynamic extent (trace time)."""
     return getattr(_state, "enabled", False)
+
+
+def ambient_calib() -> "Int8Calib | None":
+    """The static calibration of the enclosing ``int8_scope``, if any.
+
+    Routing decisions recorded INTO a calibration (the stems bit) must
+    be replayed FROM it at serving time — fused_stems.stems_int8 reads
+    this instead of re-deriving from the environment."""
+    return getattr(_state, "calib", None)
 
 
 @contextlib.contextmanager

@@ -435,6 +435,79 @@ def test_calib_json_roundtrip(tmp_path):
     )
     p = save_calib(str(tmp_path / "c.json"), calib)
     assert load_calib(p) == calib
+    # the stems-routing bit survives the sidecar
+    calib_s = calib._replace(stems=True)
+    p2 = save_calib(str(tmp_path / "cs.json"), calib_s)
+    assert load_calib(p2) == calib_s and load_calib(p2).stems
+    # version-1 sidecars (no "stems" key) imply stems-off recording
+    import json as _json
+
+    d = calib.to_json_dict()
+    del d["stems"]
+    d["version"] = 1
+    (tmp_path / "v1.json").write_text(_json.dumps(d))
+    assert load_calib(str(tmp_path / "v1.json")).stems is False
+
+
+def test_calib_stems_bit_replayed_at_serving(monkeypatch):
+    """The calibration's recorded stems bit decides the serving-time
+    stems routing (the site list depends on it); the env var remains
+    the explicit A/B override in both directions."""
+    from mudiff_tpu.nn.fused_stems import stems_int8
+    from mudiff_tpu.ops.int8_conv import Int8Calib
+
+    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
+    assert stems_int8() is False              # shipped default
+    calib_on = Int8Calib(min_ch=64, sites=(), stems=True)
+    calib_off = Int8Calib(min_ch=64, sites=(), stems=False)
+    with int8_scope(True, calib=calib_on):
+        assert stems_int8() is True           # replayed from the calib
+    with int8_scope(True, calib=calib_off):
+        assert stems_int8() is False
+    monkeypatch.setenv("MUDIFF_INT8_STEMS", "0")
+    with int8_scope(True, calib=calib_on):
+        assert stems_int8() is False          # env beats the calib
+    monkeypatch.setenv("MUDIFF_INT8_STEMS", "1")
+    with int8_scope(True, calib=calib_off):
+        assert stems_int8() is True
+
+
+def test_calibrate_records_stems_bit(tiny_cfg_pair, monkeypatch):
+    """synthetic_calib (and calibrate_sampler, same code path) stamp
+    the ambient stems routing into the calibration, and the stems site
+    appears in the site list exactly when the bit is on."""
+    from mudiff_tpu.infer.calibrate import synthetic_calib
+    from mudiff_tpu.models import NCSNppGenerator
+
+    _, cfg8 = tiny_cfg_pair
+    s = cfg8.image_size
+    x = jnp.zeros((1, s, s, 1), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, cfg8.nz), jnp.float32)
+    g1 = NCSNppGenerator(config=cfg8)
+    p1 = g1.init(jax.random.PRNGKey(0), x, x, x, x, t, z)["params"]
+
+    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
+    c_off = synthetic_calib(g1, p1, (x, x, x, x, t, z))
+    assert c_off.stems is False
+    monkeypatch.setenv("MUDIFF_INT8_STEMS", "1")
+    c_on = synthetic_calib(g1, p1, (x, x, x, x, t, z))
+    assert c_on.stems is True
+    # exactly one extra routed site: the fused stem conv2 (4nf -> 4nf)
+    assert len(c_on.sites) == len(c_off.sites) + 1
+    nf4 = 4 * cfg8.num_channels_dae
+    extra = set(
+        (ci, co) for ci, co, _ in c_on.sites
+    ) - set((ci, co) for ci, co, _ in c_off.sites)
+    assert extra == {(nf4, nf4)}
+    # serving each calib traces cleanly (site counts line up)
+    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
+    for c in (c_off, c_on):
+        gs = NCSNppGenerator(config=cfg8, int8_calib=c)
+        y = np.asarray(
+            gs.apply({"params": p1}, x, x, x, x, t, z), np.float32
+        )
+        assert np.isfinite(y).all()
 
 
 def test_calibrate_sampler_end_to_end(tiny_cfg_pair):
