@@ -163,6 +163,13 @@ print(f"worker {jax.process_index()} STEP_OK", flush=True)
 
 
 def _run_two_process(worker_src, port, extra_env, timeout=900):
+    # The budgets below assume the two worker processes compile in
+    # parallel on >=2 cores (the usual CI shape).  On a 1-core box the
+    # XLA compiles serialize and roughly double, so scale the budget
+    # rather than flaking (observed: the loop test's first compile
+    # alone exceeded 1500 s on a 1-vCPU container).
+    if (os.cpu_count() or 2) < 2:
+        timeout *= 3
     env_base = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
