@@ -194,10 +194,13 @@ def stems_int8() -> bool:
 
 
 # Default for the dynamic (uncalibrated) int8 mode and for recording
-# new calibrations.  False until the round-5 quality gate on a trained
-# flagship checkpoint concludes; the on-chip forward A/B measured the
-# quantized stem conv2 at -3.2% G1 time (PERFORMANCE.md round-5).
-STEMS_INT8_DEFAULT = False
+# new calibrations.  ON since round 5: the serialized forward A/B
+# measured the quantized stem conv2 at -3.2% G1 time, end-to-end
+# sampling at +2.0% (25.60 -> 26.10 slices/s/chip, session-matched
+# legs), and the quality gate on the trained flagship64 checkpoint
+# read +0.011 dB vs exact (PERFORMANCE.md round-5 stems section).
+# ``MUDIFF_INT8_STEMS=0`` steps back to the round-4 routing.
+STEMS_INT8_DEFAULT = True
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
@@ -210,10 +213,10 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     the forward).
 
     allow_int8: opt into the W8A8 serving path (ops/int8_conv.py) when
-    the model was built with use_int8 — passed only by the G2
-    cyclic-fusion gate/weight convs (mid-network, sigmoid-gated); the
-    stem convs stay exact because every downstream feature flows
-    through them.
+    the model was built with use_int8 — passed by the G2 cyclic-fusion
+    gate/weight convs and (since round 5) the fused stem conv2 via
+    :func:`stems_int8`; stem conv1 and the head stay exact (thin
+    shapes the probe measured slow).
 
     groups: feature_group_count for the grouped lowering (kernel must
     then be (3,3,Cin/groups,Cout) with group-concatenated Cout); the

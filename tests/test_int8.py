@@ -136,9 +136,9 @@ def test_routing_cout_min_env(monkeypatch):
 
 
 def test_stems_int8_env(monkeypatch):
-    """MUDIFF_INT8_STEMS=1 routes the fused stem conv2 through int8
-    under the scope (close to exact); without it the stems are exact
-    under the scope (the shipped default)."""
+    """The fused stem conv2 routes through int8 under the scope by
+    default (round-5 promotion: +2.0% end-to-end, quality-gated);
+    MUDIFF_INT8_STEMS=0 steps back to the exact round-4 routing."""
     from mudiff_tpu.nn.fused_stems import fused_convfeat_apply
 
     rng = np.random.RandomState(11)
@@ -166,17 +166,19 @@ def test_stems_int8_env(monkeypatch):
     pv = m.init(jax.random.PRNGKey(0), stacked)
     run = lambda: np.asarray(m.apply(pv, stacked))
 
+    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
     y_exact = run()
+    monkeypatch.setenv("MUDIFF_INT8_STEMS", "0")
     with int8_scope(True):
-        y_def = run()
-    assert np.array_equal(y_exact, y_def)
-    monkeypatch.setenv("MUDIFF_INT8_STEMS", "1")
+        y_off = run()
+    assert np.array_equal(y_exact, y_off)  # opt-out restores round-4 exact
+    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
     with int8_scope(True):
         y_q = run()
-    assert not np.array_equal(y_exact, y_q)
+    assert not np.array_equal(y_exact, y_q)  # default quantizes
     scale = np.abs(y_exact).max() + 1e-9
     assert np.abs(y_q - y_exact).max() <= 0.02 * scale
-    # outside the scope the env alone must not quantize
+    # outside the scope the default must not quantize
     assert np.array_equal(y_exact, run())
 
 
@@ -457,12 +459,13 @@ def test_calib_stems_bit_replayed_at_serving(monkeypatch):
     from mudiff_tpu.ops.int8_conv import Int8Calib
 
     monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
-    assert stems_int8() is False              # shipped default
+    assert stems_int8() is True               # shipped default (round 5)
     calib_on = Int8Calib(min_ch=64, sites=(), stems=True)
     calib_off = Int8Calib(min_ch=64, sites=(), stems=False)
     with int8_scope(True, calib=calib_on):
         assert stems_int8() is True           # replayed from the calib
     with int8_scope(True, calib=calib_off):
+        # a round-4 sidecar (stems off) must be replayed as recorded
         assert stems_int8() is False
     monkeypatch.setenv("MUDIFF_INT8_STEMS", "0")
     with int8_scope(True, calib=calib_on):
@@ -487,12 +490,12 @@ def test_calibrate_records_stems_bit(tiny_cfg_pair, monkeypatch):
     g1 = NCSNppGenerator(config=cfg8)
     p1 = g1.init(jax.random.PRNGKey(0), x, x, x, x, t, z)["params"]
 
-    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
+    monkeypatch.setenv("MUDIFF_INT8_STEMS", "0")
     c_off = synthetic_calib(g1, p1, (x, x, x, x, t, z))
     assert c_off.stems is False
-    monkeypatch.setenv("MUDIFF_INT8_STEMS", "1")
+    monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
     c_on = synthetic_calib(g1, p1, (x, x, x, x, t, z))
-    assert c_on.stems is True
+    assert c_on.stems is True                 # round-5 default records on
     # exactly one extra routed site: the fused stem conv2 (4nf -> 4nf)
     assert len(c_on.sites) == len(c_off.sites) + 1
     nf4 = 4 * cfg8.num_channels_dae
