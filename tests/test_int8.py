@@ -513,6 +513,48 @@ def test_calibrate_records_stems_bit(tiny_cfg_pair, monkeypatch):
         assert np.isfinite(y).all()
 
 
+def test_flagship_routing_site_counts(monkeypatch):
+    """Pin the shipped flagship64 routing: 30 G1 / 32 G2 int8 sites at
+    min_ch=128 with the round-5 stems default (29/31 with
+    MUDIFF_INT8_STEMS=0 — the round-4 routing).  Site lists depend on
+    the channel architecture only, so a 32² trace pins the same list
+    the 256² serving path uses; everything runs through jax.eval_shape
+    (abstract — no compile, sub-second on CPU)."""
+    from mudiff_tpu.config import brats_recipe
+    from mudiff_tpu.infer.calibrate import synthetic_calib
+    from mudiff_tpu.models import NCSNppGenerator
+
+    cfg = brats_recipe(
+        num_channels_dae=64, image_size=32, use_bf16=True, use_int8=True
+    )
+    s = cfg.image_size
+    x = jnp.zeros((1, s, s, 1), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    z = jnp.zeros((1, cfg.nz), jnp.float32)
+    g1 = NCSNppGenerator(config=cfg, dtype=jnp.bfloat16)
+    g2 = NCSNppGenerator(config=cfg, adaptive=True, dtype=jnp.bfloat16)
+    p1 = jax.eval_shape(
+        lambda k: g1.init(k, x, x, x, x, t, z), jax.random.PRNGKey(0)
+    )["params"]
+    p2 = jax.eval_shape(
+        lambda k: g2.init(k, x, x, x, x, t, z, pseudo_target=x),
+        jax.random.PRNGKey(1),
+    )["params"]
+
+    counts = {}
+    for env, key in (("0", "r4"), (None, "r5")):
+        if env is None:
+            monkeypatch.delenv("MUDIFF_INT8_STEMS", raising=False)
+        else:
+            monkeypatch.setenv("MUDIFF_INT8_STEMS", env)
+        c1 = synthetic_calib(g1, p1, (x, x, x, x, t, z))
+        c2 = synthetic_calib(g2, p2, (x, x, x, x, t, z), pseudo_target=x)
+        assert c1.min_ch == 128 and c2.min_ch == 128
+        counts[key] = (len(c1.sites), len(c2.sites))
+    assert counts["r4"] == (29, 31)   # round-4 routing (stems opt-out)
+    assert counts["r5"] == (30, 32)   # shipped default (stems quantized)
+
+
 def test_calibrate_sampler_end_to_end(tiny_cfg_pair):
     """Record -> build Int8Calib -> serve statically: the calibrated
     generators must stay close to the exact model AND to the dynamic
